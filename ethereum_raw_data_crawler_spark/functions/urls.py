@@ -1,0 +1,202 @@
+"""URL canonicalization — the engine's analogue of the reference's
+address/hash normalization (reference:
+internal/infrastructure/blockchain/ethereum_service.go:421-456 convertBlock,
+:459-576 convertTransaction — deterministic pure per-row conversion of a raw
+payload into a typed row; :318-325 sanitizeData for encoding safety).
+
+RFC 3986 normalization implemented:
+  * scheme + host lowercased
+  * default ports stripped (http:80, https:443)
+  * userinfo and fragment dropped
+  * dot-segments removed (RFC 3986 §5.2.4)
+  * percent-encoding normalized: unreserved characters decoded, other
+    escapes uppercased (RFC 3986 §6.2.2.2)
+  * tracking query params stripped (utm_*, gclid, fbclid, ...)
+  * remaining query params sorted by (key, value) for a canonical order
+  * empty path -> "/"
+
+The function is TOTAL and PURE: any string in, canonical string or None
+out (None = not a crawlable http(s) URL), no locale or wall-clock
+dependence. The same function body runs inside Arrow-batched pandas UDFs
+on executors and inside the single-threaded oracle, so equality of the
+two paths is structural.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from urllib.parse import urlsplit
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = set("0123456789abcdefABCDEF")
+
+#: Tracking parameters stripped during canonicalization. Exact-match keys
+#: plus the utm_* prefix family.
+TRACKING_EXACT = frozenset(
+    {
+        "gclid",
+        "fbclid",
+        "msclkid",
+        "igshid",
+        "mc_cid",
+        "mc_eid",
+        "ref",
+        "ref_src",
+        "spm",
+    }
+)
+TRACKING_PREFIXES = ("utm_",)
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _normalize_percent(s: str) -> str:
+    """Decode %XX escapes of unreserved chars; uppercase the rest.
+
+    Malformed escapes (%Z9, trailing %) are left verbatim — total function.
+    """
+    if "%" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 2 <= n - 1:
+            h1, h2 = s[i + 1], s[i + 2]
+            if h1 in _HEX and h2 in _HEX:
+                code = int(h1 + h2, 16)
+                ch = chr(code)
+                if ch in _UNRESERVED:
+                    out.append(ch)
+                else:
+                    out.append("%" + h1.upper() + h2.upper())
+                i += 3
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    output: list[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if output:
+                output.pop()
+        elif buf == "/..":
+            buf = "/"
+            if output:
+                output.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            i = buf.find("/", 1) if buf.startswith("/") else buf.find("/")
+            if i == -1:
+                output.append(buf)
+                buf = ""
+            else:
+                output.append(buf[:i])
+                buf = buf[i:]
+    return "".join(output)
+
+
+def _is_tracking(key: str) -> bool:
+    k = key.lower()
+    return k in TRACKING_EXACT or any(k.startswith(p) for p in TRACKING_PREFIXES)
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """Canonical form of ``url``, or None if not a crawlable http(s) URL."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower().rstrip(".")
+    if not host:
+        return None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+
+    path = _normalize_percent(_remove_dot_segments(parts.path))
+    if not path:
+        path = "/"
+
+    query = ""
+    if parts.query:
+        pairs = []
+        for piece in parts.query.split("&"):
+            if not piece:
+                continue
+            if "=" in piece:
+                k, v = piece.split("=", 1)
+            else:
+                k, v = piece, ""
+            if _is_tracking(k):
+                continue
+            pairs.append((_normalize_percent(k), _normalize_percent(v)))
+        pairs.sort()
+        query = "&".join(k if not v else f"{k}={v}" for k, v in pairs)
+
+    out = f"{scheme}://{netloc}{path}"
+    if query:
+        out += "?" + query
+    return out
+
+
+def host_of(url_canon: str | None) -> str | None:
+    """Host (with non-default port) of an already-canonical URL."""
+    if not url_canon:
+        return None
+    rest = url_canon.split("://", 1)
+    if len(rest) != 2:
+        return None
+    netloc = rest[1].split("/", 1)[0]
+    return netloc or None
+
+
+def url_hash64(url_canon: str) -> int:
+    """Signed 64-bit dedup key: first 8 bytes of sha256(url_canon).
+
+    The engine's analogue of the reference's unique index on ``hash`` /
+    ``number`` (reference: internal/infrastructure/database/mongodb.go:86-92,
+    111-115) — here the key is computed up front and dedup is a set
+    operation, not a constraint violation.
+    """
+    digest = hashlib.sha256(url_canon.encode("utf-8")).digest()
+    return struct.unpack(">q", digest[:8])[0]
+
+
+def path_of(url_canon: str) -> str:
+    """Path+query of a canonical URL (for robots prefix checks)."""
+    rest = url_canon.split("://", 1)
+    if len(rest) != 2:
+        return "/"
+    i = rest[1].find("/")
+    return rest[1][i:] if i >= 0 else "/"

@@ -1,0 +1,99 @@
+"""Unit tests: URL canonicalizer + HTML extractor (SURVEY.md §5.2 item 3).
+
+Mirrors the reference's unit-test focus on the per-message conversion
+path (reference: websocket_scheduler_test.go:119-168 — hex parse +
+invalid-message robustness)."""
+
+import pytest
+from hypothesis import given, strategies as st
+
+from ethereum_raw_data_crawler_spark.functions.extract import extract_links, extract_text
+from ethereum_raw_data_crawler_spark.functions.urls import (
+    canonicalize_url,
+    host_of,
+    path_of,
+    url_hash64,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,canon",
+    [
+        ("HTTPS://HOST1.EXAMPLE/p/0", "https://host1.example/p/0"),
+        ("https://host1.example/p/0?utm_source=x", "https://host1.example/p/0"),
+        ("https://host1.example/p/0?b=2&a=1", "https://host1.example/p/0?a=1&b=2"),
+        ("https://host1.example:443/p/0", "https://host1.example/p/0"),
+        ("http://host1.example:80/", "http://host1.example/"),
+        ("http://host1.example:8080/x", "http://host1.example:8080/x"),
+        ("https://host1.example/a/../b/./c", "https://host1.example/b/c"),
+        ("https://host1.example/%7Euser/%2fx", "https://host1.example/~user/%2Fx"),
+        ("https://host1.example", "https://host1.example/"),
+        ("https://host1.example/p#frag", "https://host1.example/p"),
+        ("https://host1.example/p?gclid=1&ref=z&keep=1",
+         "https://host1.example/p?keep=1"),
+        ("https://user:pw@host1.example/p", "https://host1.example/p"),
+        ("https://host1.example./p", "https://host1.example/p"),
+    ],
+)
+def test_canonicalize(raw, canon):
+    assert canonicalize_url(raw) == canon
+
+
+@pytest.mark.parametrize("raw", ["ftp://h/x", "not a url", "", None, "mailto:a@b"])
+def test_canonicalize_rejects(raw):
+    assert canonicalize_url(raw) is None
+
+
+def test_canonicalize_idempotent_on_fixture_urls():
+    from ethereum_raw_data_crawler_spark.sources import synth
+
+    for u in synth.gen_pages(synth.T1)["url"]:
+        c = canonicalize_url(u)
+        assert c is not None
+        assert canonicalize_url(c) == c
+
+
+@given(st.text(max_size=200))
+def test_canonicalize_total(s):
+    """Total function: never raises, output is canonical or None."""
+    c = canonicalize_url(s)
+    if c is not None:
+        assert canonicalize_url(c) == c
+        assert host_of(c)
+        assert path_of(c).startswith("/")
+
+
+def test_url_hash_is_stable_signed_64():
+    h = url_hash64("https://host1.example/p/0")
+    assert isinstance(h, int)
+    assert -(2**63) <= h < 2**63
+    assert h == url_hash64("https://host1.example/p/0")
+    assert h != url_hash64("https://host1.example/p/1")
+
+
+def test_extract_text_basic():
+    html = (
+        b"<html><head><title>t</title><style>x{}</style></head>"
+        b"<body>hello <b>world</b> &amp; more<script>no()</script></body></html>"
+    )
+    assert extract_text(html) == "t hello world & more"
+
+
+def test_extract_text_malformed_total():
+    assert isinstance(extract_text(b"<html><body>abc<a hre"), str)
+    assert extract_text(None) == ""
+    assert extract_text(b"") == ""
+    assert isinstance(extract_text(b"\xff\xfe garbage <b>x"), str)
+
+
+@given(st.binary(max_size=400))
+def test_extract_text_never_raises(b):
+    assert isinstance(extract_text(b), str)
+
+
+def test_extract_links_resolves_relative():
+    html = b'<a href="/p/3">x</a><a href="https://other.example/q">y</a><a name="no"></a>'
+    assert extract_links(html, "https://host1.example/p/0") == [
+        "https://host1.example/p/3",
+        "https://other.example/q",
+    ]
