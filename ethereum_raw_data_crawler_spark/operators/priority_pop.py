@@ -1,0 +1,169 @@
+"""Priority-queue pop with per-host politeness budgets.
+
+The reference picks its next batch as the key-ordered prefix
+``[currentBlock, currentBlock+batchSize]`` (reference:
+internal/application/service/crawler_service.go:294-306) and rate-limits
+requests with a client-side min-delay (ethereum_service.go:585-591).
+Recast set-based (SURVEY.md §2.3 "priority-queue pop"): per-host rank by
+(priority, discovery_ts, url_canon) capped at the host's budget, then a
+global top-``batch_size`` under the total order
+(priority, host, discovery_ts, url_canon).
+
+Scale design: the naive plan shuffles the ENTIRE pending set through a
+host-partitioned window every round. We pre-prune map-side with a bounded
+per-partition top-k (``_local_host_topk`` via mapInPandas, memory ≤
+hosts-in-partition × budget), so the exact window only sees
+≤ partitions × hosts × budget rows — the same partial-aggregation trick
+a map-side combiner does for sums. This is also the hot-host skew
+treatment: a host with 10^7 pending rows contributes at most ``budget``
+rows per partition to the shuffle instead of 10^7 rows into one window
+task. Correctness-neutral: the global per-host top-k is contained in the
+union of per-partition top-ks; tests cross-check pruned vs unpruned pops.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: total order of the pop (SURVEY.md §7 known-hard #1)
+POP_ORDER = ["priority", "host", "discovery_ts", "url_canon"]
+HOST_ORDER = ["priority", "discovery_ts", "url_canon"]
+
+
+def _local_host_topk(df: DataFrame) -> DataFrame:
+    """Per-partition, per-host top-``budget`` rows (bounded-memory
+    map-side pre-prune). Expects a ``budget`` column."""
+    schema = df.schema
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: pd.DataFrame | None = None
+        for pdf in batches:
+            combined = pdf if state is None else pd.concat([state, pdf])
+            combined = combined.sort_values(
+                ["host", "priority", "discovery_ts", "url_canon"],
+                kind="mergesort",
+            )
+            keep = combined.groupby("host", sort=False).cumcount() < combined[
+                "budget"
+            ].to_numpy()
+            state = combined[keep]
+        if state is not None and len(state):
+            yield state
+
+    return df.mapInPandas(prune, schema)
+
+
+def pop_batch(
+    eligible: DataFrame,
+    politeness: DataFrame,
+    batch_size: int,
+    default_budget: int,
+    prune: bool = True,
+) -> DataFrame:
+    """Pop the next fetch batch from the eligible pending set.
+
+    ``eligible`` must carry POP_ORDER columns; ``politeness`` is the small
+    (host, budget_per_round) dim — broadcast, never shuffled.
+    Returns the popped rows with a dense ``pop_seq``.
+    """
+    with_budget = eligible.join(
+        F.broadcast(politeness), "host", "left"
+    ).withColumn(
+        "budget",
+        F.coalesce(F.col("budget_per_round"), F.lit(default_budget)).cast("int"),
+    ).drop("budget_per_round")
+
+    if prune:
+        with_budget = _local_host_topk(with_budget)
+
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in HOST_ORDER])
+    budgeted = (
+        with_budget.withColumn("_host_rank", F.row_number().over(w))
+        .where(F.col("_host_rank") <= F.col("budget"))
+        .drop("_host_rank", "budget")
+    )
+    # global top-k: Spark plans orderBy+limit as TakeOrdered (no full sort)
+    popped = budgeted.orderBy(*[F.col(c) for c in POP_ORDER]).limit(batch_size)
+    # pop_seq: popped is ≤ batch_size rows by construction, so a single
+    # bounded window is safe at any corpus scale
+    wg = Window.orderBy(*[F.col(c) for c in POP_ORDER])
+    return popped.withColumn(
+        "pop_seq", (F.row_number().over(wg) - F.lit(1)).cast("long")
+    )
+
+
+def assign_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "seq",
+    n_partitions: int | None = None,
+    approx_count: int | None = None,
+) -> DataFrame:
+    """Dense global 0-based sequence under ``order_cols`` without a
+    single-partition window: range-repartition on the order, count rows
+    per partition, then add per-partition offsets map-side. Two passes,
+    both scalable (the classic distributed zipWithIndex).
+
+    When the caller already knows the input is small (``approx_count``),
+    skip the range-sampling + count passes and sort in one partition —
+    zero extra jobs."""
+    if approx_count is not None and approx_count <= 200_000:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(seq_col, T.LongType(), False)]
+        )
+
+        def number_small(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            i = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pdf = pdf.copy()
+                pdf[seq_col] = range(i, i + len(pdf))
+                i += len(pdf)
+                yield pdf
+
+        return (
+            df.coalesce(1)
+            .sortWithinPartitions(*[F.col(c) for c in order_cols])
+            .mapInPandas(number_small, schema)
+        )
+
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = max(2, spark.sparkContext.defaultParallelism)
+    ordered = df.repartitionByRange(
+        n_partitions, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*[F.col(c) for c in order_cols])
+    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(with_pid.schema.fields) + [T.StructField(seq_col, T.LongType(), False)]
+    )
+
+    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[seq_col] = range(base + local, base + local + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return with_pid.mapInPandas(number, schema).drop("_pid")

@@ -1,0 +1,658 @@
+"""The Spark crawl engine: bounded partition-parallel batch rounds.
+
+One round = one declarative DataFrame DAG per sink (SURVEY.md §3.1
+"Spark recast" of the reference's polling round, reference:
+internal/application/service/crawler_service.go:229-370):
+
+    read frontier snapshot
+      -> eligibility filter (retry/skip gate, scheduler_service.go:291-303)
+      -> per-host politeness budget + (priority, host, discovery_ts, url)
+         priority pop               (crawler_service.go:251-307 recast)
+      -> fetch = partition-pruned join against the bucketed corpus
+         (GetBlockByNumber, ethereum_service.go:142-185 recast; failure
+         injection stands in for RPC errors)
+      -> extract text + outlinks    (convertBlock, ethereum_service.go:421-456)
+      -> discovery: canonicalize -> robots gate -> Bloom + anti-join dedup
+         -> new frontier rows       (dedup-before-write, mongodb.go:86-92)
+      -> one atomic snapshot commit of pages/seen/trace/metrics + frontier
+         upsert                     (publish-after-save, crawler_service.go:592-607)
+
+Resume = open the store and continue from ``manifest.round + 1``
+(initializeStartingBlock, crawler_service.go:199-226): a kill between or
+during rounds never corrupts state because a round's writes are invisible
+until its single manifest swap.
+
+Determinism under parallelism (SURVEY.md §7 known-hard #1): every
+sequence the oracle defines is derived from explicit total orders
+(sorted-before-seq), never from partition iteration order, so local[2]
+and local[32] produce identical traces.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from ethereum_raw_data_crawler_spark.config import CrawlConfig
+from ethereum_raw_data_crawler_spark.functions.spark_udfs import (
+    canonicalize_udf,
+    extract_links_udf,
+    extract_text_udf,
+    url_hash_udf,
+    with_host_and_path,
+)
+from ethereum_raw_data_crawler_spark.operators.bloom import BloomFilter, split_by_bloom
+from ethereum_raw_data_crawler_spark.operators.priority_pop import POP_ORDER, pop_batch
+from ethereum_raw_data_crawler_spark.schemas import (
+    FETCH_FAILURES,
+    FRONTIER,
+    METRICS,
+    PAGES,
+    PAGES_OUT,
+    POLITENESS,
+    ROBOTS,
+    SEEDS,
+    SEEN,
+    STATUS_FAILED,
+    STATUS_FETCHED,
+    STATUS_PENDING,
+    TRACE,
+)
+from ethereum_raw_data_crawler_spark.sources.tablestore import SnapshotStore
+
+CORPUS = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ]
+)
+
+_TABLES = {
+    "corpus": "append",
+    "robots": "append",
+    "politeness": "append",
+    "fetch_failures": "append",
+    "pages_out": "append",
+    "seen": "append",
+    "metrics": "append",
+    "frontier": "mor",
+}
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        cfg: CrawlConfig,
+        n_buckets: int = 32,
+        use_bloom: bool = True,
+        prune_pop: bool = True,
+        compact_every: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.store = SnapshotStore(store_root)
+        self.cfg = cfg
+        self.n_buckets = n_buckets
+        self.use_bloom = use_bloom
+        self.prune_pop = prune_pop
+        self.compact_every = compact_every
+        self._bloom: BloomFilter | None = None
+        self._dims: dict[str, DataFrame] = {}
+        self._scratch: list[DataFrame] = []
+
+    # ------------------------------------------------------------------ setup
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        store_root: str,
+        pages: DataFrame,
+        seeds: DataFrame,
+        robots: DataFrame,
+        politeness: DataFrame,
+        fetch_failures: DataFrame | None,
+        cfg: CrawlConfig | None = None,
+        **kw,
+    ) -> "CrawlEngine":
+        """Job init (reference: cmd/schedulers/main.go:112-175 OnStart):
+        create tables, land the corpus + dims, seed the frontier (round 0)."""
+        cfg = cfg or CrawlConfig()
+        SnapshotStore.create(store_root, _TABLES)
+        eng = cls(spark, store_root, cfg, **kw)
+        with open(os.path.join(store_root, "config.json"), "w") as fh:
+            json.dump(
+                {
+                    "cfg": asdict(cfg),
+                    "n_buckets": eng.n_buckets,
+                    "use_bloom": eng.use_bloom,
+                    "prune_pop": eng.prune_pop,
+                    "compact_every": eng.compact_every,
+                },
+                fh,
+            )
+        eng._bloom = BloomFilter()
+        txn = eng.store.transaction(-1)
+        # canonicalize the corpus ONCE; bucket by url_hash for fetch-time
+        # partition pruning (the "fetch" of a batch reads only the buckets
+        # the batch hashes into, not the whole corpus)
+        corpus = (
+            pages.withColumn("url_canon", canonicalize_udf("url"))
+            .where(F.col("url_canon").isNotNull())
+            .withColumn("url_hash", url_hash_udf("url_canon"))
+            .withColumn(
+                "bucket", F.pmod(F.col("url_hash"), F.lit(eng.n_buckets)).cast("int")
+            )
+            .select("url_canon", "url_hash", "bucket", "warc_ts", "html", "lang")
+        )
+        txn.append("corpus", corpus, partition_by=["bucket"])
+        txn.append(
+            "robots",
+            robots.select(
+                "host", F.col("allowed").cast("boolean"), "disallow_prefix"
+            ),
+        )
+        txn.append(
+            "politeness",
+            politeness.select("host", F.col("budget_per_round").cast("int")),
+        )
+        if fetch_failures is None:
+            fetch_failures = spark.createDataFrame([], FETCH_FAILURES)
+        txn.append(
+            "fetch_failures",
+            fetch_failures.select(
+                "url_canon", F.col("fail_attempts").cast("array<int>")
+            ),
+        )
+        txn.commit()
+        eng._seed(seeds)
+        return eng
+
+    @classmethod
+    def resume(cls, spark: SparkSession, store_root: str) -> "CrawlEngine":
+        """Reopen from the last committed snapshot (reference:
+        initializeStartingBlock, crawler_service.go:199-226 — max processed
+        + 1; here: manifest.round + 1, with the Bloom bitmap rebuilt or
+        reloaded)."""
+        with open(os.path.join(store_root, "config.json")) as fh:
+            saved = json.load(fh)
+        cfg = CrawlConfig(**saved["cfg"])
+        eng = cls(
+            spark,
+            store_root,
+            cfg,
+            n_buckets=saved["n_buckets"],
+            use_bloom=saved["use_bloom"],
+            prune_pop=saved["prune_pop"],
+            compact_every=saved["compact_every"],
+        )
+        bloom_path = os.path.join(store_root, f"bloom-{eng.store.round}.npz")
+        if eng.use_bloom:
+            if os.path.exists(bloom_path):
+                eng._bloom = BloomFilter.load(bloom_path)
+            else:  # rebuild from the seen table (correctness-neutral)
+                eng._bloom = BloomFilter()
+                import numpy as np
+
+                hashes = (
+                    eng.store.read(spark, "seen", SEEN)
+                    .select("url_hash")
+                    .toPandas()["url_hash"]
+                    .to_numpy(dtype=np.int64)
+                )
+                eng._bloom.add_many(hashes)
+        return eng
+
+    # ------------------------------------------------------------ table reads
+    def _dim(self, name: str, schema) -> DataFrame:
+        if name not in self._dims:
+            self._dims[name] = self.store.read(self.spark, name, schema).cache()
+        return self._dims[name]
+
+    def frontier(self) -> DataFrame:
+        return self.store.read(self.spark, "frontier", FRONTIER)
+
+    def seen(self) -> DataFrame:
+        return self.store.read(self.spark, "seen", SEEN)
+
+    def read_trace(self) -> DataFrame:
+        """The crawl trace (FIXTURES.md §7) is a projection of pages_out —
+        (fetch_round, fetch_seq) ARE the trace order, so no separate table
+        is written (one fewer sink per round)."""
+        pages = self.store.read(self.spark, "pages_out", PAGES_OUT)
+        return pages.select(
+            F.col("fetch_round").alias("round"),
+            F.col("fetch_seq").alias("seq"),
+            F.col("url").alias("url_canon"),
+            F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1).alias("host"),
+        )
+
+    # ------------------------------------------------------------- discovery
+    def _discover(
+        self, candidates: DataFrame, rnd: int, seen: DataFrame
+    ) -> tuple[DataFrame, dict]:
+        """Candidates (url, priority) -> admitted frontier rows with dense
+        discovery_ts. Implements the oracle's binding order: group by
+        url_canon keeping min (priority, url), robots gate, seen dedup,
+        seq by sorted url_canon.
+
+        Annotate-then-aggregate: instead of filter-and-count per stage
+        (one Spark job each), every drop reason becomes a flag column and
+        ONE aggregation yields all lineage counters — the map-side-combine
+        version of the reference's in-memory counters
+        (crawler_service.go:910-921)."""
+        cfg = self.cfg
+        grouped = (
+            candidates.withColumn("url_canon", canonicalize_udf("url"))
+            .where(F.col("url_canon").isNotNull())
+            .groupBy("url_canon")
+            .agg(
+                F.min(F.struct("priority", "url")).alias("m"),
+                F.count("*").alias("dups"),
+            )
+            .select(
+                "url_canon",
+                F.col("m.priority").alias("priority"),
+                F.col("m.url").alias("url"),
+                "dups",
+            )
+        )
+        robots = self._dim("robots", ROBOTS)
+        gated = (
+            with_host_and_path(grouped)
+            .join(F.broadcast(robots), "host", "left")
+            .withColumn("pass_cap", F.col("priority") <= cfg.priority_cap)
+            .withColumn(
+                "pass_robots",
+                (F.col("allowed").isNull() | F.col("allowed"))
+                & (
+                    F.col("disallow_prefix").isNull()
+                    | ~F.col("path").startswith(F.col("disallow_prefix"))
+                ),
+            )
+            .drop("allowed", "disallow_prefix", "path")
+            .withColumn("url_hash", url_hash_udf("url_canon"))
+        )
+        # seen-membership flag: Bloom kills the definitely-new rows map-side;
+        # only maybe-seen rows reach the exact join against the seen table
+        candidates_for_seen = gated.where(F.col("pass_cap") & F.col("pass_robots"))
+        skipped_rows = gated.where(~(F.col("pass_cap") & F.col("pass_robots")))
+        seen_keys = seen.select("url_hash").withColumn("seen_hit", F.lit(True))
+        if self.use_bloom and self._bloom is not None:
+            new_def, maybe = split_by_bloom(
+                candidates_for_seen, "url_hash", self._bloom, self.spark
+            )
+            checked = maybe.join(seen_keys, "url_hash", "left").withColumn(
+                "seen_hit", F.coalesce(F.col("seen_hit"), F.lit(False))
+            )
+            flagged = new_def.withColumn("seen_hit", F.lit(False)).unionByName(
+                checked
+            )
+        else:
+            flagged = candidates_for_seen.join(
+                seen_keys, "url_hash", "left"
+            ).withColumn("seen_hit", F.coalesce(F.col("seen_hit"), F.lit(False)))
+        annotated = flagged.unionByName(
+            skipped_rows.withColumn("seen_hit", F.lit(False))
+        ).cache()
+
+        stats_row = annotated.agg(
+            F.coalesce(F.sum("dups"), F.lit(0)).alias("n_valid"),
+            F.count("*").alias("n_groups"),
+            F.coalesce(F.sum(F.col("pass_cap").cast("long")), F.lit(0)).alias(
+                "n_capped"
+            ),
+            F.coalesce(
+                F.sum((F.col("pass_cap") & F.col("pass_robots")).cast("long")),
+                F.lit(0),
+            ).alias("n_gated"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("pass_cap")
+                        & F.col("pass_robots")
+                        & ~F.col("seen_hit")
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_admitted"),
+        ).collect()[0]
+        n_valid = int(stats_row["n_valid"])
+        n_groups = int(stats_row["n_groups"])
+        n_capped = int(stats_row["n_capped"])
+        n_gated = int(stats_row["n_gated"])
+        n_admitted = int(stats_row["n_admitted"])
+
+        from ethereum_raw_data_crawler_spark.operators.priority_pop import (
+            assign_global_seq,
+        )
+
+        admitted = assign_global_seq(
+            annotated.where(
+                F.col("pass_cap") & F.col("pass_robots") & ~F.col("seen_hit")
+            ).drop("pass_cap", "pass_robots", "seen_hit", "dups"),
+            ["url_canon"],
+            "seq",
+            approx_count=n_admitted,
+        )
+
+        rows = admitted.select(
+            "url",
+            "url_canon",
+            "url_hash",
+            "host",
+            "priority",
+            F.timestamp_seconds(
+                F.lit(cfg.round_unix(rnd) + cfg.discovery_offset_s) + F.col("seq")
+            ).alias("discovery_ts"),
+            F.lit(STATUS_PENDING).alias("status"),
+            F.lit(0).cast("int").alias("retry_count"),
+            F.lit(None).cast("int").alias("skip_until"),
+            F.lit(rnd).cast("int").alias("round"),
+            F.lit(None).cast("int").alias("partition_id"),
+        )
+        stats = {
+            "discovered": n_admitted,
+            "robots_filtered": n_capped - n_gated,
+            "deduped": (n_valid - n_groups)
+            + (n_groups - n_capped)
+            + (n_gated - n_admitted),
+        }
+        self._scratch.append(annotated)
+        return rows, stats
+
+    def _drain_scratch(self) -> None:
+        for df in self._scratch:
+            df.unpersist()
+        self._scratch.clear()
+
+    def _seed(self, seeds: DataFrame) -> None:
+        """Round-0 discovery of the seed list (reference: StartBlock seeding,
+        crawler_service.go:206-223)."""
+        empty_seen = self.spark.createDataFrame([], SEEN)
+        rows, stats = self._discover(
+            seeds.select("url", F.col("priority").cast("int")), 0, empty_seen
+        )
+        rows = rows.cache()
+        txn = self.store.transaction(0)
+        txn.overwrite("frontier", rows)
+        new_seen = rows.select(
+            "url_hash", "url_canon", F.lit(0).cast("int").alias("first_seen_round")
+        )
+        txn.append("seen", new_seen)
+        txn.commit()
+        self._bloom_add_from_seen_fragment(0)
+        rows.unpersist()
+        self._drain_scratch()
+
+    def _bloom_add_from_seen_fragment(self, rnd: int) -> None:
+        """OR the just-committed seen fragment into the Bloom bitmap by
+        reading its parquet straight off disk — no Spark job."""
+        if not self.use_bloom or self._bloom is None:
+            return
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        frag = self.store.manifest()["tables"]["seen"]["fragments"][-1]
+        absdir = os.path.join(self.store.root, frag["dir"])
+        table = pq.read_table(absdir, columns=["url_hash"])
+        self._bloom.add_many(table.column("url_hash").to_numpy().astype(np.int64))
+        self._bloom.save(os.path.join(self.store.root, f"bloom-{rnd}.npz"))
+
+    # ------------------------------------------------------------- one round
+    def run_round(self, rnd: int) -> dict:
+        cfg = self.cfg
+        t0 = time.monotonic()
+        frontier = self.frontier()
+        eligible = frontier.where(
+            (F.col("status") == STATUS_PENDING)
+            & (F.col("skip_until").isNull() | (F.col("skip_until") <= F.lit(rnd)))
+        )
+        politeness = self._dim("politeness", POLITENESS)
+        popped = pop_batch(
+            eligible,
+            politeness,
+            cfg.batch_size,
+            cfg.default_budget,
+            prune=self.prune_pop,
+        ).cache()
+        # one job: popped count + the corpus buckets it hashes into
+        bucket_counts = (
+            popped.groupBy(
+                F.pmod("url_hash", F.lit(self.n_buckets)).cast("int").alias("bucket")
+            )
+            .count()
+            .collect()
+        )
+        n_popped = int(sum(r["count"] for r in bucket_counts))
+
+        # ---- fetch: partition-pruned corpus join + failure injection ------
+        if n_popped:
+            buckets = sorted(r["bucket"] for r in bucket_counts)
+            corpus_sel = self.store.read(
+                self.spark,
+                "corpus",
+                CORPUS,
+                partition_filter=f"bucket in ({','.join(map(str, buckets))})",
+            ).select("url_canon", "warc_ts", "html", "lang")
+            failures = self._dim("fetch_failures", FETCH_FAILURES)
+            hits = (
+                corpus_sel.join(F.broadcast(popped), "url_canon", "inner")
+                .join(F.broadcast(failures), "url_canon", "left")
+                .withColumn("attempt", F.col("retry_count") + 1)
+                .withColumn(
+                    "fetch_failed",
+                    F.coalesce(
+                        F.array_contains(F.col("fail_attempts"), F.col("attempt")),
+                        F.lit(False),
+                    ),
+                )
+                .withColumn("partition_id", F.spark_partition_id())
+                .cache()
+            )
+            misses = popped.join(
+                F.broadcast(hits.select("url_canon")), "url_canon", "left_anti"
+            ).withColumn("fetch_failed", F.lit(True))
+            fetched = hits.where(~F.col("fetch_failed"))
+            failed = (
+                hits.where(F.col("fetch_failed"))
+                .select(*[f.name for f in FRONTIER.fields])
+                .unionByName(
+                    misses.select(
+                        *[
+                            f.name if f.name != "partition_id" else "partition_id"
+                            for f in FRONTIER.fields
+                        ]
+                    )
+                )
+            )
+        else:
+            hits = self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(FRONTIER.fields)
+                    + [
+                        T.StructField("pop_seq", T.LongType(), False),
+                        T.StructField("warc_ts", T.TimestampType(), True),
+                        T.StructField("html", T.BinaryType(), True),
+                        T.StructField("lang", T.StringType(), True),
+                        T.StructField("fetch_failed", T.BooleanType(), False),
+                    ]
+                ),
+            ).cache()
+            fetched = hits.where(~F.col("fetch_failed"))
+            failed = self.spark.createDataFrame([], FRONTIER)
+
+        # one job: materialize the fetch AND the per-partition lineage counters
+        part_counts = (
+            fetched.groupBy("partition_id").agg(F.count("*").alias("fetched")).collect()
+        )
+        n_fetched = int(sum(r["fetched"] for r in part_counts))
+        n_errors = n_popped - n_fetched
+
+        # ---- extract + trace + pages_out ----------------------------------
+        w = Window.orderBy("pop_seq")  # bounded: ≤ batch_size rows
+        fetched_seq = fetched.withColumn(
+            "seq", (F.row_number().over(w) - 1).cast("long")
+        ).cache()
+        pages_out = fetched_seq.select(
+            F.col("url_canon").alias("url"),
+            "warc_ts",
+            "html",
+            extract_text_udf("html").alias("text"),
+            "lang",
+            F.lit(rnd).cast("int").alias("fetch_round"),
+            F.col("seq").alias("fetch_seq"),
+        )
+
+        # ---- outlink discovery --------------------------------------------
+        seen_now = self.seen()
+        outlinks = fetched_seq.select(
+            F.explode(extract_links_udf("html", "url_canon")).alias("url"),
+            (F.col("priority") + 1).cast("int").alias("priority"),
+        )
+        discovered, disc_stats = self._discover(outlinks, rnd, seen_now)
+        discovered = discovered.cache()
+
+        # ---- frontier bookkeeping (scheduler_service.go:324-357) ----------
+        fetched_upd = fetched_seq.select(
+            "url",
+            "url_canon",
+            "url_hash",
+            "host",
+            "priority",
+            "discovery_ts",
+            F.lit(STATUS_FETCHED).alias("status"),
+            "retry_count",
+            F.col("skip_until").cast("int").alias("skip_until"),
+            F.lit(rnd).cast("int").alias("round"),
+            F.col("partition_id").cast("int").alias("partition_id"),
+        )
+        new_rc = F.col("retry_count") + 1
+        failed_upd = failed.select(
+            "url",
+            "url_canon",
+            "url_hash",
+            "host",
+            "priority",
+            "discovery_ts",
+            F.when(new_rc >= cfg.hard_fail_retries, F.lit(STATUS_FAILED))
+            .otherwise(F.lit(STATUS_PENDING))
+            .alias("status"),
+            new_rc.cast("int").alias("retry_count"),
+            F.when(
+                (new_rc < cfg.hard_fail_retries) & (new_rc >= cfg.max_retries),
+                F.lit(rnd + cfg.skip_rounds),
+            )
+            .otherwise(F.col("skip_until"))
+            .cast("int")
+            .alias("skip_until"),
+            F.lit(rnd).cast("int").alias("round"),
+            "partition_id",
+        )
+        frontier_new = fetched_upd.unionByName(failed_upd).unionByName(discovered)
+        # popped is ≤ batch_size and already materialized: collect the delete
+        # keys driver-side so the MOR delete fragment costs no Spark job
+        delete_keys_pdf = popped.select("url_canon").toPandas()
+
+        # ---- per-(round, partition) lineage metrics ------------------------
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        import pandas as pd
+
+        metrics_rows = [
+            (
+                rnd,
+                int(r["partition_id"]) if r["partition_id"] is not None else -1,
+                0,
+                int(r["fetched"]),
+                0,
+                0,
+                0,
+                0,
+            )
+            for r in part_counts
+        ]
+        # round-level aggregates ride on partition_id = -1
+        metrics_rows.append(
+            (
+                rnd,
+                -1,
+                n_popped,
+                n_fetched,
+                disc_stats["deduped"],
+                disc_stats["robots_filtered"],
+                n_errors,
+                wall_ms,
+            )
+        )
+        metrics_pdf = pd.DataFrame(
+            metrics_rows, columns=[f.name for f in METRICS.fields]
+        )
+
+        # ---- single atomic commit (publish-after-save ordering) -----------
+        new_seen = discovered.select(
+            "url_hash", "url_canon", F.lit(rnd).cast("int").alias("first_seen_round")
+        )
+
+        # per-round deltas are O(batch_size); size output files accordingly
+        # (at 10^10 scale batch_size is large and this still yields many files)
+        def parts(n: int, per: int = 100_000) -> int:
+            return max(1, min(64, n // per + 1))
+
+        txn = self.store.transaction(rnd)
+        txn.append("pages_out", pages_out.coalesce(parts(n_fetched, 20_000)))
+        txn.append("seen", new_seen.coalesce(parts(disc_stats["discovered"])))
+        txn.append_pandas("metrics", metrics_pdf, METRICS)
+        txn.upsert(
+            "frontier",
+            "url_canon",
+            frontier_new.coalesce(parts(n_popped + disc_stats["discovered"])),
+            delete_keys_pdf,
+        )
+        txn.commit()
+        self._bloom_add_from_seen_fragment(rnd)
+
+        if self.compact_every and rnd % self.compact_every == 0:
+            self.store.compact(self.spark, "frontier", FRONTIER, rnd)
+
+        for df in (popped, hits, fetched_seq, discovered):
+            df.unpersist()
+        self._drain_scratch()
+        return {
+            "round": rnd,
+            "popped": n_popped,
+            "fetched": n_fetched,
+            "errors": n_errors,
+            **disc_stats,
+            "wall_ms": wall_ms,
+        }
+
+    # ------------------------------------------------------------- the loop
+    def pending_count(self) -> int:
+        return self.frontier().where(F.col("status") == STATUS_PENDING).count()
+
+    def run(self, max_rounds: int | None = None) -> list[dict]:
+        """Round loop (reference: crawlerWorker ticker, crawler_service.go:
+        229-248 — a driver for-loop in batch mode). Stops when the frontier
+        is exhausted."""
+        out = []
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        rnd = self.store.round
+        while rnd < limit:
+            rnd += 1
+            stats = self.run_round(rnd)
+            out.append(stats)
+            # an empty pop means either exhaustion or an all-skipped lull
+            # (skip_until in the future); only then pay for the exact check
+            if stats["popped"] == 0 and self.pending_count() == 0:
+                break
+        return out

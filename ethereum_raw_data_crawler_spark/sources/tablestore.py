@@ -1,0 +1,282 @@
+"""Snapshot table store: Iceberg-protocol semantics over plain Parquet.
+
+The sandbox image has no Iceberg runtime jars, so the table protocol is
+isolated behind this one module (SURVEY.md §7 known-hard #4). It
+reproduces the three Iceberg properties the engine's correctness depends
+on; swapping in a real Iceberg catalog replaces this module and nothing
+else:
+
+1. **Atomic snapshot commits** — a numbered JSON manifest written via
+   temp-file + ``os.replace``; the current state is the highest-numbered
+   manifest. A crash mid-transaction leaves orphan data directories that
+   no manifest references (exactly Iceberg's failed-commit behavior).
+   This is the engine's analogue of the reference's
+   resume-from-last-processed checkpoint (reference:
+   internal/application/service/crawler_service.go:199-226) and of its
+   publish-only-after-DB-save ordering (crawler_service.go:592-607):
+   every table write of a round becomes visible in one commit or not at
+   all, so a kill between rounds is always safe.
+
+2. **Append tables** — pages/trace/metrics/seen: a commit adds data
+   directories; readers union all fragments. No rewrite, ever.
+
+3. **Merge-on-read upserts** — the frontier: a commit writes an
+   equality-delete fragment (keys, seq) plus an append fragment
+   (rows, seq). A delete at seq ``s`` kills rows with ``_seq < s``.
+   Readers resolve survivors with one broadcast join against the (small,
+   bounded by compaction) delete set. ``compact`` rewrites the base and
+   clears deletes — Iceberg's rewrite_data_files. This is what makes a
+   10^10-row frontier updatable per round without rewriting the table:
+   per-round IO is O(changed rows), not O(frontier).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+SEQ_COL = "_seq"
+
+
+def _arrow_type(dt: T.DataType):
+    """Spark type -> arrow type for the small driver-side writes."""
+    import pyarrow as pa
+
+    return {
+        T.IntegerType(): pa.int32(),
+        T.LongType(): pa.int64(),
+        T.StringType(): pa.string(),
+        T.BooleanType(): pa.bool_(),
+        T.DoubleType(): pa.float64(),
+        T.TimestampType(): pa.timestamp("us", tz="UTC"),
+        T.BinaryType(): pa.binary(),
+    }[dt]
+
+
+def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+class SnapshotStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._manifest: dict | None = None
+
+    # ---- manifest plumbing -------------------------------------------------
+    def _manifest_version(self) -> int:
+        best = -1
+        if os.path.isdir(self.root):
+            for f in os.listdir(self.root):
+                if f.startswith("manifest-") and f.endswith(".json"):
+                    best = max(best, int(f[len("manifest-") : -len(".json")]))
+        return best
+
+    def manifest(self) -> dict:
+        if self._manifest is None:
+            v = self._manifest_version()
+            if v < 0:
+                raise FileNotFoundError(f"no manifest under {self.root}")
+            with open(os.path.join(self.root, f"manifest-{v:06d}.json")) as fh:
+                self._manifest = json.load(fh)
+        return self._manifest
+
+    @property
+    def round(self) -> int:
+        return self.manifest()["round"]
+
+    @classmethod
+    def create(cls, root: str, tables: dict[str, str]) -> "SnapshotStore":
+        """tables: name -> "append" | "mor". Round starts at -1 (nothing
+        committed, not even seeding)."""
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        store = cls(root)
+        manifest = {
+            "version": 0,
+            "round": -1,
+            "tables": {
+                name: {"type": kind, "fragments": [], "deletes": []}
+                for name, kind in tables.items()
+            },
+        }
+        store._write_manifest(manifest)
+        return store
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = os.path.join(self.root, f".manifest.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, os.path.join(self.root, f"manifest-{manifest['version']:06d}.json"))
+        self._manifest = manifest
+
+    # ---- reads -------------------------------------------------------------
+    def _read_fragments(
+        self, spark: SparkSession, frags: list[dict], schema: T.StructType
+    ) -> DataFrame:
+        dirs = [os.path.join(self.root, f["dir"]) for f in frags]
+        if not dirs:
+            return _empty(spark, schema)
+        return spark.read.schema(schema).parquet(*dirs)
+
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        partition_filter: str | None = None,
+    ) -> DataFrame:
+        """Current contents of ``name``. For MOR tables, resolves equality
+        deletes (one broadcast join against the bounded delete set)."""
+        t = self.manifest()["tables"][name]
+        if t["type"] == "append":
+            df = self._read_fragments(spark, t["fragments"], schema)
+            return df.where(partition_filter) if partition_filter else df
+        # mor
+        data_schema = T.StructType(
+            list(schema.fields) + [T.StructField(SEQ_COL, T.IntegerType(), False)]
+        )
+        rows = self._read_fragments(spark, t["fragments"], data_schema)
+        if partition_filter:
+            rows = rows.where(partition_filter)
+        if not t["deletes"]:
+            return rows.drop(SEQ_COL)
+        del_schema = T.StructType(
+            [
+                T.StructField("key", T.StringType(), False),
+                T.StructField("del_seq", T.IntegerType(), False),
+            ]
+        )
+        dels = (
+            self._read_fragments(spark, t["deletes"], del_schema)
+            .groupBy("key")
+            .agg(F.max("del_seq").alias("del_seq"))
+        )
+        key = t["key"]
+        return (
+            rows.join(
+                F.broadcast(dels), rows[key] == dels["key"], "left"
+            )
+            .where(F.col("del_seq").isNull() | (F.col(SEQ_COL) >= F.col("del_seq")))
+            .drop("key", "del_seq", SEQ_COL)
+        )
+
+    # ---- transactions --------------------------------------------------------
+    def transaction(self, rnd: int) -> "Transaction":
+        return Transaction(self, rnd)
+
+    def compact(
+        self, spark: SparkSession, name: str, schema: T.StructType, rnd: int
+    ) -> None:
+        """Rewrite a MOR table's survivors as one base fragment and drop the
+        delete set (Iceberg rewrite_data_files). Runs inside its own commit."""
+        current = self.read(spark, name, schema)
+        txn = self.transaction(rnd)
+        txn.overwrite(name, current)
+        txn.commit()
+
+    def _new_dir(self, name: str, tag: str) -> tuple[str, str]:
+        rel = os.path.join("data", name, f"{tag}-{uuid.uuid4().hex[:12]}")
+        return rel, os.path.join(self.root, rel)
+
+
+class Transaction:
+    """Stages parquet writes, then commits them in ONE manifest swap.
+    Data is written eagerly (it's invisible until the manifest lands)."""
+
+    def __init__(self, store: SnapshotStore, rnd: int) -> None:
+        self.store = store
+        self.rnd = rnd
+        import copy
+
+        self.manifest = copy.deepcopy(store.manifest())
+
+    def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None):
+        t = self.manifest["tables"][name]
+        rel, absdir = self.store._new_dir(name, f"r{self.rnd}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(absdir)
+        t["fragments"].append({"dir": rel, "seq": self.rnd, "partition_by": partition_by or []})
+        return self
+
+    def append_pandas(self, name: str, pdf, spark_schema: T.StructType):
+        """Driver-side append of a SMALL pandas frame via pyarrow — no Spark
+        job. Used for per-round metadata rows (metrics) where a distributed
+        write is all overhead. The arrow schema is derived from the Spark
+        schema so the files read back identically."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = self.manifest["tables"][name]
+        rel, absdir = self.store._new_dir(name, f"r{self.rnd}")
+        os.makedirs(absdir, exist_ok=True)
+        arrow_schema = pa.schema(
+            [
+                pa.field(f.name, _arrow_type(f.dataType), f.nullable)
+                for f in spark_schema.fields
+            ]
+        )
+        table = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+        pq.write_table(table, os.path.join(absdir, "part-00000.parquet"))
+        t["fragments"].append({"dir": rel, "seq": self.rnd, "partition_by": []})
+        return self
+
+    def upsert(self, name: str, key: str, new_rows: DataFrame, delete_keys):
+        """MOR upsert: delete_keys (single column = key; a Spark OR pandas
+        frame — pandas writes driver-side, no job) kills rows with
+        _seq < rnd; new_rows land with _seq = rnd."""
+        t = self.manifest["tables"][name]
+        assert t["type"] == "mor"
+        t["key"] = key
+        rel_d, abs_d = self.store._new_dir(name, f"r{self.rnd}-del")
+        if isinstance(delete_keys, DataFrame):
+            delete_keys.select(
+                F.col(key).alias("key"), F.lit(self.rnd).cast("int").alias("del_seq")
+            ).write.mode("overwrite").parquet(abs_d)
+        else:  # pandas
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(abs_d, exist_ok=True)
+            pdf = pd.DataFrame(
+                {
+                    "key": delete_keys[key].astype(str),
+                    "del_seq": self.rnd,
+                }
+            )
+            schema = pa.schema(
+                [pa.field("key", pa.string(), False), pa.field("del_seq", pa.int32(), False)]
+            )
+            pq.write_table(
+                pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+                os.path.join(abs_d, "part-00000.parquet"),
+            )
+        t["deletes"].append({"dir": rel_d, "seq": self.rnd})
+        rel_a, abs_a = self.store._new_dir(name, f"r{self.rnd}-add")
+        new_rows.withColumn(SEQ_COL, F.lit(self.rnd).cast("int")).write.mode(
+            "overwrite"
+        ).parquet(abs_a)
+        t["fragments"].append({"dir": rel_a, "seq": self.rnd, "partition_by": []})
+        return self
+
+    def overwrite(self, name: str, df: DataFrame):
+        """Replace the table's contents (used by compaction)."""
+        t = self.manifest["tables"][name]
+        rel, absdir = self.store._new_dir(name, f"r{self.rnd}-base")
+        out = df
+        if t["type"] == "mor":
+            out = df.withColumn(SEQ_COL, F.lit(self.rnd).cast("int"))
+        out.write.mode("overwrite").parquet(absdir)
+        t["fragments"] = [{"dir": rel, "seq": self.rnd, "partition_by": []}]
+        t["deletes"] = []
+        return self
+
+    def commit(self) -> None:
+        self.manifest["version"] = self.store.manifest()["version"] + 1
+        self.manifest["round"] = self.rnd
+        self.store._write_manifest(self.manifest)
