@@ -1,38 +1,136 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline: a short crawl (2 rounds of
+the frontier engine on the deterministic t1 synthetic corpus) returning
+the ordered crawl trace — the engine's headline query ("given seed list S
+and politeness budget B, which pages are fetched and in what order?",
+SURVEY.md §7 Phase 1).
+
+``queries()`` exposes every operator class from SURVEY.md §2 over the
+driver's testdata tables plus the crawl-engine operators; ``oracle_sql()``
+carries the DuckDB equivalents (crawl-engine ops are non-SQL-expressible
+and get the driver's rows-only check; their exact-equality oracle lives in
+tests/test_engine_oracle_equivalence.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_CRAWL_CACHE: dict = {}
+
+
+def _crawl_store(spark: SparkSession):
+    """Run a short deterministic crawl once per process; reuse the store."""
+    key = "t1"
+    if key not in _CRAWL_CACHE:
+        from ethereum_raw_data_crawler_spark.config import CrawlConfig
+        from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+        from ethereum_raw_data_crawler_spark.sources import synth
+
+        tabs = synth.gen_all(synth.T1)
+        relaxed = tabs["politeness"].copy()
+        relaxed["budget_per_round"] = 50
+        root = tempfile.mkdtemp(prefix="entry_crawl_")
+        eng = CrawlEngine.create(
+            spark,
+            root,
+            spark.createDataFrame(tabs["pages"]),
+            spark.createDataFrame(tabs["seeds"]),
+            spark.createDataFrame(tabs["robots"]),
+            spark.createDataFrame(relaxed),
+            spark.createDataFrame(tabs["fetch_failures"]),
+            CrawlConfig(batch_size=400),
+        )
+        eng.run(max_rounds=2)
+        _CRAWL_CACHE[key] = eng
+    return _CRAWL_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 2 frontier rounds on the t1 corpus -> ordered crawl trace."""
+    eng = _crawl_store(spark)
+    return eng.read_trace().orderBy("round", "seq")
+
+
+# ---- crawl-engine operators exposed as queries (rows-only checks) ---------
+
+
+def _q_crawl_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _crawl_store(spark).read_trace().orderBy("round", "seq")
+
+
+def _q_crawl_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_raw_data_crawler_spark.schemas import SEEN  # noqa: F401
+
+    return _crawl_store(spark).seen().orderBy("url_hash")
+
+
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _crawl_store(spark).frontier().orderBy("url_canon")
+
+
+def _q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_raw_data_crawler_spark.schemas import METRICS
+
+    eng = _crawl_store(spark)
+    return eng.store.read(spark, "metrics", METRICS).orderBy("round", "partition_id")
+
+
+def _q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over the synthetic corpus (pandas UDF path)."""
+    from ethereum_raw_data_crawler_spark.functions.spark_udfs import (
+        canonicalize_udf,
+        url_hash_udf,
+    )
+    from ethereum_raw_data_crawler_spark.sources import synth
+
+    pages = spark.createDataFrame(synth.gen_pages(synth.T1)[["url"]])
+    return pages.select(
+        "url",
+        canonicalize_udf("url").alias("url_canon"),
+        url_hash_udf(canonicalize_udf("url")).alias("url_hash"),
+    ).orderBy("url")
+
+
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical text extraction: engine text vs the corpus's stored
+    expected text (match must be all-true)."""
+    from ethereum_raw_data_crawler_spark.functions.spark_udfs import extract_text_udf
+    from ethereum_raw_data_crawler_spark.sources import synth
+
+    pages = spark.createDataFrame(synth.gen_pages(synth.T1))
+    return pages.select(
+        "url",
+        (extract_text_udf("html") == F.col("text")).alias("text_matches"),
+    ).orderBy("url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ethereum_raw_data_crawler_spark.queries import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(spark_queries())
+    out.update(
+        {
+            "crawl_trace": _q_crawl_trace,
+            "crawl_seen": _q_crawl_seen,
+            "crawl_frontier": _q_crawl_frontier,
+            "crawl_metrics": _q_crawl_metrics,
+            "canonicalize_urls": _q_canonicalize,
+            "extract_text": _q_extract_text,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ethereum_raw_data_crawler_spark.queries import oracle_sqls
+
+    return dict(oracle_sqls())

@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the crawl-engine round benchmark on the
+deterministic synthetic corpus, and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys (informational, stable): crawl_urls_per_sec, crawl_rounds,
+crawl_fetched, cpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1",
+    "fanout_join",
+    "broadcast_dim_join",
+    "priority_pop",
+    "topk_by_value",
+    "dedup_exact",
+    "token_count",
+    "embedding_topk",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from ethereum_raw_data_crawler_spark.queries import spark_queries
+
+    qs = spark_queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # warm (scan cache, plan cache)
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        out[name] = round(time.monotonic() - t0, 4)
+    return out
+
+
+def _bench_corpus_dir(scale_name: str) -> str:
+    """Generate (once) and cache the synthetic crawl corpus parquet."""
+    from ethereum_raw_data_crawler_spark.sources import synth
+
+    cache = os.environ.get("SPARK_GRAFT_CACHE", "/tmp/spark_graft_bench_cache")
+    out = os.path.join(cache, scale_name)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        scale = {"t1": synth.T1, "t2": synth.T2, "bench": synth.BENCH}[scale_name]
+        synth.write_corpus(out, scale)
+        open(marker, "w").write("ok")
+    return out
+
+
+def bench_crawl(spark, scale_name: str = "t2", rounds: int = 5) -> dict:
+    """Frontier-round throughput: a multi-round crawl at bench politeness
+    (budget 100/host, batch 2000) over the cached synthetic corpus."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ethereum_raw_data_crawler_spark.config import CrawlConfig
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+
+    corpus_dir = _bench_corpus_dir(scale_name)
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
+    robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
+    politeness_pdf = pd.read_parquet(os.path.join(corpus_dir, "politeness.parquet"))
+    politeness_pdf["budget_per_round"] = 100
+    politeness = spark.createDataFrame(politeness_pdf)
+
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        cfg = CrawlConfig(batch_size=2000)
+        eng = CrawlEngine.create(
+            spark, root, pages, seeds, robots, politeness, None, cfg
+        )
+        t0 = time.monotonic()
+        stats = eng.run(max_rounds=rounds)
+        wall = time.monotonic() - t0
+        fetched = sum(s["fetched"] for s in stats)
+        return {
+            "crawl_wall_sec": round(wall, 3),
+            "crawl_rounds": len(stats),
+            "crawl_fetched": fetched,
+            "crawl_urls_per_sec": round(fetched / wall, 2) if wall > 0 else 0.0,
+            "crawl_round_sec": round(wall / max(1, len(stats)), 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    crawl_scale = os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "t2")
+
+    from ethereum_raw_data_crawler_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, shuffle_partitions=cpus, app_name="bench")
+
+    queries = bench_queries(spark, sf_dir)
+    crawl = bench_crawl(spark, crawl_scale)
+    queries["crawl_rounds_" + crawl_scale] = crawl["crawl_wall_sec"]
+
+    total = round(sum(queries.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline query wall time + crawl frontier rounds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **crawl,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,720 @@
+"""Driver-contract query surface: every operator class from SURVEY.md §2
+expressed over the driver's testdata tables, each paired with an ANSI-SQL
+oracle for DuckDB. The registry feeds ``__spark_entry__.queries()`` /
+``oracle_sql()``.
+
+Naming discipline: every computed column is aliased IDENTICALLY in the
+Spark plan and the SQL (the driver hash-compares values under sorted
+column names). Float aggregates are rounded on both sides; timestamps
+are rendered to strings on both sides (Spark session TZ is driver-owned).
+
+Query -> reference mapping (file:line into /root/reference):
+  latest_key        GetLatestBlockNumber        ethereum_service.go:127-139
+  point_lookup      GetBlockByNumber (repo)     block_repository_impl.go:135-148
+  range_scan        GetBlocksByRange            block_repository_impl.go:167-192
+  conjunctive       GetBlocksByStatus+network   block_repository_impl.go:284-290
+  disjunctive       GetTransactionsByAddress    transaction_repository_impl.go:237-243
+  existence         BlockExists                 block_repository_impl.go:271-275
+  time_range        GetMetricsInTimeRange       metrics_repository_impl.go:57-83
+  resume_point      GetLastProcessedBlock+1     crawler_service.go:199-226
+  ordered_scan      GetPendingBlocks            block_repository_impl.go:216-238
+  intra_order_sort  GetTransactionsByBlockNumber transaction_repository_impl.go:191-234
+  pagination        GetTransactionsByAddress    transaction_repository_impl.go:237-266
+  topk_by_value     GetTopTransactionsByValue   transaction_repository_impl.go:436-457
+  latest_by_ts      GetLatestMetrics            metrics_repository_impl.go:40-54
+  priority_pop      processNextBlocks pop       crawler_service.go:251-307
+  count_by_status   GetBlockCountByStatus       block_repository_impl.go:278-290
+  sum_volume        GetTransactionVolumeByDateRange transaction_repository_impl.go:392-433
+  avg_metric        GetAverageProcessingTime    metrics_repository_impl.go:160-198
+  multi_agg         GetThroughputStats          metrics_repository_impl.go:254-304
+  error_rate        GetErrorRate                metrics_repository_impl.go:201-251
+  fanout_join       GetTransactionsByBlock      ethereum_service.go:256-315
+  anti_join_dedup   pre-insert dup check        crawler_service.go:433-457
+  semi_join         receipt existence           ethereum_service.go:328-359
+  gated_dim_join    SkipReceipts gate           ethereum_service.go:279-297
+  hex_roundtrip     hex block-number parse      websocket_scheduler.go:337-349
+  unix_ts           time.Unix(block.Time())     ethereum_service.go:449
+  status_derivation receipt status mapping      ethereum_service.go:537-552
+  json_extract      WS message decode           websocket_scheduler.go:280-303
+  error_classify    isRetryableError            ethereum_service.go:100-124
+  string_normalize  sanitize/normalize          ethereum_service.go:318-325
+
+The training-data operators (dedup/similarity/text analysis) are the
+100-TB-pipeline surface the engine adds beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, sql or None)
+REGISTRY: dict[str, tuple] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamp-rendering queries pin the session TZ so date_format
+    matches DuckDB's naive-UTC strftime regardless of driver defaults."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# --------------------------------------------------------------------------
+# §2.1/2.2 scans, point/range lookups, predicates
+# --------------------------------------------------------------------------
+
+
+@_q("latest_key", "SELECT max(o_orderkey) AS latest_key FROM orders")
+def latest_key(spark, sf):
+    return _t(spark, sf, "orders").agg(F.max("o_orderkey").alias("latest_key"))
+
+
+@_q(
+    "point_lookup",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey = 100",
+)
+def point_lookup(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderkey") == 100)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@_q(
+    "range_scan",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_orderkey BETWEEN 100 AND 200",
+)
+def range_scan(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_orderkey").between(100, 200))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@_q(
+    "conjunctive_filter",
+    "SELECT count(*) AS cnt FROM orders "
+    "WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'",
+)
+def conjunctive_filter(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .where((F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") == "1-URGENT"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "disjunctive_filter",
+    "SELECT event_id, event_type, round(value, 4) AS value_r FROM events "
+    "WHERE event_type = 'error' OR value > 95",
+)
+def disjunctive_filter(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .where((F.col("event_type") == "error") | (F.col("value") > 95))
+        .select("event_id", "event_type", F.round("value", 4).alias("value_r"))
+    )
+
+
+@_q("existence_check", "SELECT count(*) AS cnt FROM orders WHERE o_custkey = 7")
+def existence_check(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .where(F.col("o_custkey") == 7)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "time_range_filter",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'",
+)
+def time_range_filter(spark, sf):
+    _utc(spark)
+    return (
+        _t(spark, sf, "events")
+        .where(
+            (F.col("ts") >= "2024-01-05 00:00:00") & (F.col("ts") < "2024-01-06 00:00:00")
+        )
+        .select(
+            "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 sorts / limits / top-k / pagination / the priority pop
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "resume_point",
+    "SELECT max(o_orderkey) + 1 AS next_key FROM orders WHERE o_orderstatus = 'F'",
+)
+def resume_point(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .agg((F.max("o_orderkey") + 1).alias("next_key"))
+    )
+
+
+@_q(
+    "ordered_scan_limit",
+    "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O' "
+    "ORDER BY o_orderkey LIMIT 100",
+)
+def ordered_scan_limit(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@_q(
+    "intra_order_sort",
+    "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem WHERE l_orderkey = 7 "
+    "ORDER BY l_linenumber",
+)
+def intra_order_sort(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") == 7)
+        .orderBy("l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+@_q(
+    "pagination",
+    "SELECT o_orderkey, o_totalprice FROM ("
+    "  SELECT o_orderkey, o_totalprice, row_number() OVER "
+    "    (ORDER BY o_orderkey DESC) AS rn FROM orders"
+    ") WHERE rn > 20 AND rn <= 30",
+)
+def pagination(spark, sf):
+    w = Window.orderBy(F.col("o_orderkey").desc())
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > 20) & (F.col("rn") <= 30))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "topk_by_value",
+    "SELECT o_orderkey, round(o_totalprice, 2) AS price_r FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def topk_by_value(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price_r"))
+    )
+
+
+@_q(
+    "latest_by_ts",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events "
+    "ORDER BY ts DESC, event_id DESC LIMIT 1",
+)
+def latest_by_ts(spark, sf):
+    _utc(spark)
+    return (
+        _t(spark, sf, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+    )
+
+
+@_q(
+    "priority_pop",
+    "SELECT doc_id, source, n_chars FROM ("
+    "  SELECT doc_id, source, n_chars, row_number() OVER ("
+    "    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS host_rank"
+    "  FROM documents"
+    ") WHERE host_rank <= 3 "
+    "ORDER BY source, n_chars DESC, doc_id LIMIT 50",
+)
+def priority_pop(spark, sf):
+    """The frontier pop recast on the documents table: per-'host' (source)
+    budget of 3, then a global ordered batch of 50 — the same
+    window-rank + TakeOrdered shape as operators/priority_pop.py."""
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        _t(spark, sf, "documents")
+        .withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= 3)
+        .orderBy("source", F.col("n_chars").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "count_by_status",
+    "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
+)
+def count_by_status(spark, sf):
+    return _t(spark, sf, "orders").groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
+
+
+@_q(
+    "sum_volume",
+    "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'",
+)
+def sum_volume(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+@_q(
+    "avg_metric",
+    "SELECT event_type, round(avg(value), 4) AS avg_value FROM events "
+    "GROUP BY event_type",
+)
+def avg_metric(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@_q(
+    "multi_agg",
+    "SELECT event_type, round(avg(value), 4) AS avg_v, round(max(value), 4) AS max_v, "
+    "count(*) AS cnt, count(DISTINCT user_id) AS users FROM events GROUP BY event_type",
+)
+def multi_agg(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@_q(
+    "error_rate",
+    "SELECT CASE WHEN count(*) = 0 THEN 0.0 ELSE round("
+    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) "
+    "END AS error_rate FROM events",
+)
+def error_rate(spark, sf):
+    agg = _t(spark, sf, "events").agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("err"),
+    )
+    return agg.select(
+        F.when(F.col("total") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("err") * 1.0 / F.col("total"), 6))
+        .alias("error_rate")
+    )
+
+
+@_q(
+    "distinct_per_group",
+    "SELECT l_returnflag, count(DISTINCT l_partkey) AS parts FROM lineitem "
+    "GROUP BY l_returnflag",
+)
+def distinct_per_group(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("parts"))
+    )
+
+
+@_q(
+    "tpch_q1",
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, "
+    "round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def tpch_q1(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 joins
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "fanout_join",
+    "SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) "
+    "AS revenue, count(*) AS n_items FROM orders o JOIN lineitem l "
+    "ON o.o_orderkey = l.l_orderkey WHERE o.o_orderstatus = 'O' "
+    "GROUP BY o.o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 20",
+)
+def fanout_join(spark, sf):
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "O")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "broadcast_dim_join",
+    "SELECT r.r_name, count(*) AS customers FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
+)
+def broadcast_dim_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("customers"))
+    )
+
+
+@_q(
+    "anti_join_dedup",
+    "SELECT n_nationkey, n_name FROM nation WHERE NOT EXISTS "
+    "(SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)",
+)
+def anti_join_dedup(spark, sf):
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return n.join(s, "n_nationkey", "left_anti").select("n_nationkey", "n_name")
+
+
+@_q(
+    "semi_join",
+    "SELECT count(*) AS cnt FROM orders WHERE EXISTS "
+    "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)",
+)
+def semi_join(spark, sf):
+    o = _t(spark, sf, "orders")
+    l = (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_quantity") > 49)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return o.join(l, "o_orderkey", "left_semi").agg(F.count("*").alias("cnt"))
+
+
+@_q(
+    "gated_dim_join",
+    "SELECT l.l_suppkey, round(sum(l.l_quantity), 2) AS qty FROM lineitem l "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey WHERE s.s_nationkey % 2 = 0 "
+    "GROUP BY l.l_suppkey",
+)
+def gated_dim_join(spark, sf):
+    """Config-gated dimension join (the robots / SkipReceipts analogue):
+    only 'allowed' suppliers pass the broadcast gate."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier").where(F.col("s_nationkey") % 2 == 0)
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 scalar functions
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "hex_roundtrip",
+    "SELECT o_orderkey, upper(to_hex(o_orderkey)) AS hex_key, "
+    "o_orderkey AS parsed_back FROM orders WHERE o_orderkey < 50",
+)
+def hex_roundtrip(spark, sf):
+    """bigint -> hex -> parse back (the reference's WS hex block-number
+    parse, websocket_scheduler.go:337-349). DuckDB side returns the
+    identity; Spark must actually round-trip through conv()."""
+    return (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderkey") < 50)
+        .select(
+            "o_orderkey",
+            F.hex(F.col("o_orderkey")).alias("hex_key"),
+            F.conv(F.hex(F.col("o_orderkey")), 16, 10)
+            .cast("long")
+            .alias("parsed_back"),
+        )
+    )
+
+
+@_q(
+    "unix_ts",
+    "SELECT event_id, strftime(epoch_ms(event_id * 3600 * 1000), '%Y-%m-%d %H:%M:%S') "
+    "AS derived_ts FROM events WHERE event_id < 100",
+)
+def unix_ts(spark, sf):
+    _utc(spark)
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.date_format(
+                F.timestamp_seconds(F.col("event_id") * 3600), "yyyy-MM-dd HH:mm:ss"
+            ).alias("derived_ts"),
+        )
+    )
+
+
+@_q(
+    "status_derivation",
+    "SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 'processed' "
+    "WHEN o_orderstatus = 'O' THEN 'pending' ELSE 'failed' END AS status "
+    "FROM orders WHERE o_orderkey < 200",
+)
+def status_derivation(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "F", "processed")
+            .when(F.col("o_orderstatus") == "O", "pending")
+            .otherwise("failed")
+            .alias("status"),
+        )
+    )
+
+
+@_q(
+    "json_extract",
+    "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events "
+    "WHERE event_id < 500",
+)
+def json_extract(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("event_id") < 500)
+        .select("event_id", F.get_json_object("props", "$.k").alias("k"))
+    )
+
+
+@_q(
+    "error_classify",
+    "SELECT doc_id, CASE WHEN regexp_matches(text, 'slow|dup') THEN true "
+    "ELSE false END AS retryable FROM documents",
+)
+def error_classify(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.col("text").rlike("slow|dup").alias("retryable")
+    )
+
+
+@_q(
+    "string_normalize",
+    "SELECT c_custkey, lower(trim(c_name)) || '#' || lower(c_mktsegment) "
+    "AS norm FROM customer",
+)
+def string_normalize(spark, sf):
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lower(F.trim(F.col("c_name"))), F.lit("#"), F.lower(F.col("c_mktsegment"))
+        ).alias("norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies "
+    "FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id —
+    the seen-set dedup applied to document text."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark, sf):
+    return _t(spark, sf, "documents").select("doc_id", F.md5("text").alias("fingerprint"))
+
+
+@_q(
+    "token_count",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents",
+)
+def token_count(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"), "n_chars"
+    )
+
+
+@_q(
+    "quality_score",
+    "SELECT doc_id, round("
+    "  ((length(text) - length(replace(text, 'the', ''))) / 3.0)"
+    "  / len(string_split(text, ' ')), 6) AS stopword_ratio, "
+    "CASE WHEN n_chars BETWEEN 50 AND 5000 THEN true ELSE false END AS len_ok "
+    "FROM documents",
+)
+def quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    n_the = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the")))) / 3.0
+    return d.select(
+        "doc_id",
+        F.round(n_the / F.size(F.split("text", " ")), 6).alias("stopword_ratio"),
+        F.col("n_chars").between(50, 5000).alias("len_ok"),
+    )
+
+
+@_q(
+    "lang_id",
+    "SELECT doc_id, CASE "
+    "WHEN length(text) - length(replace(text, ' the ', '')) > 0 THEN 'en' "
+    "WHEN length(text) - length(replace(text, ' der ', '')) > 0 THEN 'de' "
+    "ELSE 'other' END AS lang_pred FROM documents",
+)
+def lang_id(spark, sf):
+    """Stopword-marker language ID heuristic (JVM-side string ops only)."""
+    d = _t(spark, sf, "documents")
+
+    def has(m):
+        return (F.length("text") - F.length(F.replace(F.col("text"), F.lit(m)))) > 0
+
+    return d.select(
+        "doc_id",
+        F.when(has(" the "), "en").when(has(" der "), "de").otherwise("other").alias(
+            "lang_pred"
+        ),
+    )
+
+
+@_q(
+    "embedding_topk",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, round(CAST(list_cosine_similarity(embedding, "
+    "(SELECT qv FROM q)) AS DOUBLE), 5) AS cos_sim FROM embeddings "
+    "WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10",
+)
+def embedding_topk(spark, sf):
+    """Brute-force cosine top-k over the embedding column — built-in
+    higher-order functions only (zip_with + aggregate), no UDF."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+
+    def norm(a):
+        return F.sqrt(dot(a, a))
+
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm(F.col("embedding")) * norm(F.col("qv"))),
+                5,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# registry accessors for __spark_entry__
+# --------------------------------------------------------------------------
+
+
+def spark_queries() -> dict:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sqls() -> dict:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

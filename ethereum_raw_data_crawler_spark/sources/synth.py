@@ -238,6 +238,15 @@ def write_corpus(out_dir: str, scale: Scale, seed: int = 42) -> dict[str, str]:
     paths = {}
     for name, pdf in gen_all(scale, seed).items():
         path = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        # Spark cannot read TIMESTAMP(NANOS) parquet — coerce ns -> us
+        fields = [
+            f.with_type(pa.timestamp("us", tz=f.type.tz))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in table.schema
+        ]
+        table = table.cast(pa.schema(fields))
+        pq.write_table(table, path)
         paths[name] = path
     return paths

@@ -21,7 +21,7 @@ def _mk_engine(spark, tmp_path, tabs, cfg, politeness=None, failures="fixture", 
         spark.createDataFrame(tabs["robots"]),
         spark.createDataFrame(politeness if politeness is not None else tabs["politeness"]),
         spark.createDataFrame(tabs["fetch_failures"])
-        if failures == "fixture"
+        if isinstance(failures, str) and failures == "fixture"
         else (spark.createDataFrame(failures) if failures is not None else None),
         cfg,
         **kw,
