@@ -113,6 +113,51 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents (exact-match oracle lives
+    in tests/test_dedup_similarity.py — signature functions are shared
+    with a pure-Python reference)."""
+    from ethereum_raw_data_crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.2).orderBy("id_a", "id_b")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_raw_data_crawler_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        simhash_fingerprints(docs)
+        .where("chunk_idx = 0")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_raw_data_crawler_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [
+        float(x)
+        for x in emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    ]
+    return lsh_topk(emb, query, k=10, n_planes=4)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_raw_data_crawler_spark.functions.multimodal import (
+        extract_media_features,
+        gen_media,
+    )
+
+    media = spark.createDataFrame(gen_media(200))
+    return extract_media_features(media).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ethereum_raw_data_crawler_spark.queries import spark_queries
 
@@ -125,6 +170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "crawl_metrics": _q_crawl_metrics,
             "canonicalize_urls": _q_canonicalize,
             "extract_text": _q_extract_text,
+            "dedup_minhash_lsh": _q_minhash_lsh,
+            "dedup_simhash": _q_simhash,
+            "ann_lsh_topk": _q_ann_lsh,
+            "media_features": _q_media_features,
         }
     )
     return out

@@ -52,6 +52,10 @@ def _bench_corpus_dir(scale_name: str) -> str:
     out = os.path.join(cache, scale_name)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
+        if scale_name == "xl":
+            raise FileNotFoundError(
+                "xl corpus missing — generate with tools/gen_xl_corpus.py"
+            )
         scale = {"t1": synth.T1, "t2": synth.T2, "bench": synth.BENCH}[scale_name]
         synth.write_corpus(out, scale)
         open(marker, "w").write("ok")

@@ -69,6 +69,26 @@ def extract_text(html: bytes | str | None) -> str:
     return " ".join(" ".join(parsed.chunks).split())
 
 
+def extract_page(html, base: str) -> tuple[str, list[str]]:
+    """One parse: (visible text, per-doc-deduped CANONICAL outlinks) —
+    shared verbatim by the Spark UDF and the oracle, so it is the binding
+    definition of a page's extraction."""
+    from ethereum_raw_data_crawler_spark.functions.urls import canonicalize_url
+
+    parsed = _parse(html)
+    text = " ".join(" ".join(parsed.chunks).split())
+    seen: dict[str, None] = {}
+    for href in parsed.links:
+        try:
+            absolute = urljoin(base, href) if base else href
+        except ValueError:
+            continue
+        c = canonicalize_url(absolute)
+        if c is not None:
+            seen[c] = None
+    return text, list(seen)
+
+
 def extract_links(html: bytes | str | None, base_url: str | None = None) -> list[str]:
     """``<a href>`` targets of ``html`` resolved against ``base_url``,
     in document order, duplicates preserved (dedup is the frontier's job —

@@ -14,7 +14,11 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ethereum_raw_data_crawler_spark.functions.extract import extract_links, extract_text
+from ethereum_raw_data_crawler_spark.functions.extract import (
+    extract_links,
+    extract_page,
+    extract_text,
+)
 from ethereum_raw_data_crawler_spark.functions.urls import canonicalize_url, url_hash64
 
 
@@ -38,6 +42,26 @@ def extract_links_udf(html: pd.Series, base: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_links(h, b) for h, b in zip(html, base)], index=html.index
     )
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType(), False),
+            T.StructField("links", T.ArrayType(T.StringType()), False),
+        ]
+    )
+)
+def extract_page_udf(html: pd.Series, base: pd.Series) -> pd.DataFrame:
+    """Single-pass extraction: the html bytes cross the JVM->Python Arrow
+    socket ONCE per round (text + canonical links together) — the socket
+    transfer, not the parse, dominated the profile at 1M pages/round."""
+    texts, links = [], []
+    for h, b in zip(html, base):
+        t, ls = extract_page(h, b)
+        texts.append(t)
+        links.append(ls)
+    return pd.DataFrame({"text": texts, "links": links}, index=html.index)
 
 
 def with_host_and_path(df, canon_col: str = "url_canon"):

@@ -62,6 +62,7 @@ def pop_batch(
     batch_size: int,
     default_budget: int,
     prune: bool = True,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Pop the next fetch batch from the eligible pending set.
 
@@ -85,14 +86,18 @@ def pop_batch(
         .where(F.col("_host_rank") <= F.col("budget"))
         .drop("_host_rank", "budget")
     )
-    # global top-k: Spark plans orderBy+limit as TakeOrdered (no full sort)
-    popped = budgeted.orderBy(*[F.col(c) for c in POP_ORDER]).limit(batch_size)
-    # pop_seq: popped is ≤ batch_size rows by construction, so a single
-    # bounded window is safe at any corpus scale
-    wg = Window.orderBy(*[F.col(c) for c in POP_ORDER])
-    return popped.withColumn(
-        "pop_seq", (F.row_number().over(wg) - F.lit(1)).cast("long")
-    )
+    if batch_size <= 100_000:
+        # small k: Spark plans orderBy+limit as TakeOrdered — per-partition
+        # top-k merged on the driver, cheap at this size
+        popped = budgeted.orderBy(*[F.col(c) for c in POP_ORDER]).limit(batch_size)
+        return assign_global_seq(
+            popped, POP_ORDER, "pop_seq", approx_count=batch_size, scratch=scratch
+        )
+    # large k: TakeOrdered would stream k rows/partition through the DRIVER.
+    # Instead: distributed range-sort, dense global seq, then filter — every
+    # stage stays on executors.
+    seqd = assign_global_seq(budgeted, POP_ORDER, "pop_seq", scratch=scratch)
+    return seqd.where(F.col("pop_seq") < batch_size)
 
 
 def assign_global_seq(
@@ -101,6 +106,7 @@ def assign_global_seq(
     seq_col: str = "seq",
     n_partitions: int | None = None,
     approx_count: int | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Dense global 0-based sequence under ``order_cols`` without a
     single-partition window: range-repartition on the order, count rows
@@ -136,9 +142,17 @@ def assign_global_seq(
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = max(2, spark.sparkContext.defaultParallelism)
-    ordered = df.repartitionByRange(
-        n_partitions, *[F.col(c) for c in order_cols]
-    ).sortWithinPartitions(*[F.col(c) for c in order_cols])
+    # CACHED on purpose: repartitionByRange samples its boundaries per
+    # execution, so the offsets pass and the numbering pass MUST observe
+    # the same physical partitioning. The caller's ``scratch`` list owns
+    # the unpersist (the numbering output is consumed lazily).
+    ordered = (
+        df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .cache()
+    )
+    if scratch is not None:
+        scratch.append(ordered)
     with_pid = ordered.withColumn("_pid", F.spark_partition_id())
     counts = {
         r["_pid"]: r["cnt"]

@@ -36,7 +36,10 @@ from dataclasses import dataclass, field
 import pandas as pd
 
 from ethereum_raw_data_crawler_spark.config import CrawlConfig
-from ethereum_raw_data_crawler_spark.functions.extract import extract_links, extract_text
+from ethereum_raw_data_crawler_spark.functions.extract import (
+    extract_page,
+    extract_text,
+)
 from ethereum_raw_data_crawler_spark.functions.urls import (
     canonicalize_url,
     host_of,
@@ -121,11 +124,13 @@ class OracleScheduler:
         return True
 
     # -- discovery: candidates -> frontier + seen ---------------------------
-    def _discover(self, candidates: list[tuple[str, int]], rnd: int) -> dict:
+    def _discover(
+        self, candidates: list[tuple[str, int]], rnd: int, precanon: bool = False
+    ) -> dict:
         n_raw_valid = 0
         groups: dict[str, tuple[int, str]] = {}  # canon -> (min prio, min raw url)
         for raw, prio in candidates:
-            canon = canonicalize_url(raw)
+            canon = raw if precanon else canonicalize_url(raw)
             if canon is None:
                 continue
             n_raw_valid += 1
@@ -224,10 +229,11 @@ class OracleScheduler:
                     "fetch_seq": seq,
                 }
             )
-            for link in extract_links(html, base_url=r.url_canon):
+            _text, canon_links = extract_page(html, r.url_canon)
+            for link in canon_links:
                 candidates.append((link, r.priority + 1))
 
-        disc = self._discover(candidates, rnd)
+        disc = self._discover(candidates, rnd, precanon=True)
         m = {
             "round": rnd,
             "popped": len(popped),

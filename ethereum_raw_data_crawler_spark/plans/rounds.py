@@ -41,8 +41,7 @@ from pyspark.sql import types as T
 from ethereum_raw_data_crawler_spark.config import CrawlConfig
 from ethereum_raw_data_crawler_spark.functions.spark_udfs import (
     canonicalize_udf,
-    extract_links_udf,
-    extract_text_udf,
+    extract_page_udf,
     url_hash_udf,
     with_host_and_path,
 )
@@ -158,7 +157,9 @@ class CrawlEngine:
         txn.append(
             "robots",
             robots.select(
-                "host", F.col("allowed").cast("boolean"), "disallow_prefix"
+                "host",
+                F.col("allowed").cast("boolean").alias("allowed"),
+                F.col("disallow_prefix").cast("string").alias("disallow_prefix"),
             ),
         )
         txn.append(
@@ -251,9 +252,10 @@ class CrawlEngine:
         version of the reference's in-memory counters
         (crawler_service.go:910-921)."""
         cfg = self.cfg
+        if "url_canon" not in candidates.columns:
+            candidates = candidates.withColumn("url_canon", canonicalize_udf("url"))
         grouped = (
-            candidates.withColumn("url_canon", canonicalize_udf("url"))
-            .where(F.col("url_canon").isNotNull())
+            candidates.where(F.col("url_canon").isNotNull())
             .groupBy("url_canon")
             .agg(
                 F.min(F.struct("priority", "url")).alias("m"),
@@ -343,6 +345,7 @@ class CrawlEngine:
             ["url_canon"],
             "seq",
             approx_count=n_admitted,
+            scratch=self._scratch,
         )
 
         rows = admitted.select(
@@ -412,6 +415,14 @@ class CrawlEngine:
     def run_round(self, rnd: int) -> dict:
         cfg = self.cfg
         t0 = time.monotonic()
+        phases: dict[str, int] = {}
+        _last = [t0]
+
+        def tick(name: str) -> None:
+            now = time.monotonic()
+            phases[name] = int((now - _last[0]) * 1000)
+            _last[0] = now
+
         frontier = self.frontier()
         eligible = frontier.where(
             (F.col("status") == STATUS_PENDING)
@@ -424,6 +435,7 @@ class CrawlEngine:
             cfg.batch_size,
             cfg.default_budget,
             prune=self.prune_pop,
+            scratch=self._scratch,
         ).cache()
         # one job: popped count + the corpus buckets it hashes into
         bucket_counts = (
@@ -434,6 +446,7 @@ class CrawlEngine:
             .collect()
         )
         n_popped = int(sum(r["count"] for r in bucket_counts))
+        tick("pop")
 
         # ---- fetch: partition-pruned corpus join + failure injection ------
         if n_popped:
@@ -445,8 +458,12 @@ class CrawlEngine:
                 partition_filter=f"bucket in ({','.join(map(str, buckets))})",
             ).select("url_canon", "warc_ts", "html", "lang")
             failures = self._dim("fetch_failures", FETCH_FAILURES)
+            # small pops broadcast (no corpus shuffle); large pops would
+            # serialize on the driver-side broadcast build — shuffle both
+            # sides instead and let AQE pick the physical join
+            popped_side = F.broadcast(popped) if n_popped <= 100_000 else popped
             hits = (
-                corpus_sel.join(F.broadcast(popped), "url_canon", "inner")
+                corpus_sel.join(popped_side, "url_canon", "inner")
                 .join(F.broadcast(failures), "url_canon", "left")
                 .withColumn("attempt", F.col("retry_count") + 1)
                 .withColumn(
@@ -459,9 +476,12 @@ class CrawlEngine:
                 .withColumn("partition_id", F.spark_partition_id())
                 .cache()
             )
-            misses = popped.join(
-                F.broadcast(hits.select("url_canon")), "url_canon", "left_anti"
-            ).withColumn("fetch_failed", F.lit(True))
+            hit_keys = hits.select("url_canon")
+            if n_popped <= 100_000:
+                hit_keys = F.broadcast(hit_keys)
+            misses = popped.join(hit_keys, "url_canon", "left_anti").withColumn(
+                "fetch_failed", F.lit(True)
+            )
             fetched = hits.where(~F.col("fetch_failed"))
             failed = (
                 hits.where(F.col("fetch_failed"))
@@ -498,33 +518,41 @@ class CrawlEngine:
         )
         n_fetched = int(sum(r["fetched"] for r in part_counts))
         n_errors = n_popped - n_fetched
+        tick("fetch")
 
-        # ---- extract + trace + pages_out ----------------------------------
-        w = Window.orderBy("pop_seq")  # bounded: ≤ batch_size rows
-        fetched_seq = fetched.withColumn(
-            "seq", (F.row_number().over(w) - 1).cast("long")
+        # ---- extract (ONE pass: html crosses the Arrow socket once) -------
+        from ethereum_raw_data_crawler_spark.operators.priority_pop import (
+            assign_global_seq,
+        )
+
+        fetched_seq = assign_global_seq(
+            fetched, ["pop_seq"], "seq", approx_count=n_fetched, scratch=self._scratch
+        )
+        extracted = fetched_seq.withColumn(
+            "ext", extract_page_udf("html", "url_canon")
         ).cache()
-        pages_out = fetched_seq.select(
+        pages_out = extracted.select(
             F.col("url_canon").alias("url"),
             "warc_ts",
             "html",
-            extract_text_udf("html").alias("text"),
+            F.col("ext.text").alias("text"),
             "lang",
             F.lit(rnd).cast("int").alias("fetch_round"),
             F.col("seq").alias("fetch_seq"),
         )
 
-        # ---- outlink discovery --------------------------------------------
+        # ---- outlink discovery (links arrive canonical + per-doc deduped) --
         seen_now = self.seen()
-        outlinks = fetched_seq.select(
-            F.explode(extract_links_udf("html", "url_canon")).alias("url"),
+        outlinks = extracted.select(
+            F.explode("ext.links").alias("url_canon"),
             (F.col("priority") + 1).cast("int").alias("priority"),
-        )
+        ).withColumn("url", F.col("url_canon"))
         discovered, disc_stats = self._discover(outlinks, rnd, seen_now)
         discovered = discovered.cache()
+        tick("discover")
 
         # ---- frontier bookkeeping (scheduler_service.go:324-357) ----------
-        fetched_upd = fetched_seq.select(
+        fetched_upd = extracted.select(
             "url",
             "url_canon",
             "url_hash",
@@ -560,9 +588,12 @@ class CrawlEngine:
             "partition_id",
         )
         frontier_new = fetched_upd.unionByName(failed_upd).unionByName(discovered)
-        # popped is ≤ batch_size and already materialized: collect the delete
-        # keys driver-side so the MOR delete fragment costs no Spark job
-        delete_keys_pdf = popped.select("url_canon").toPandas()
+        # small pops: collect delete keys driver-side (no Spark write job);
+        # large pops: keep them distributed
+        if n_popped <= 200_000:
+            delete_keys = popped.select("url_canon").toPandas()
+        else:
+            delete_keys = popped.select("url_canon")
 
         # ---- per-(round, partition) lineage metrics ------------------------
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -603,28 +634,32 @@ class CrawlEngine:
             "url_hash", "url_canon", F.lit(rnd).cast("int").alias("first_seen_round")
         )
 
-        # per-round deltas are O(batch_size); size output files accordingly
-        # (at 10^10 scale batch_size is large and this still yields many files)
+        # cheap per-round deltas are O(batch_size); size their output files
+        # accordingly. pages_out is NOT coalesced: its write stage computes
+        # the text extraction, and narrowing it below the core count would
+        # serialize the hottest stage of the round.
         def parts(n: int, per: int = 100_000) -> int:
             return max(1, min(64, n // per + 1))
 
         txn = self.store.transaction(rnd)
-        txn.append("pages_out", pages_out.coalesce(parts(n_fetched, 20_000)))
+        txn.append("pages_out", pages_out)
         txn.append("seen", new_seen.coalesce(parts(disc_stats["discovered"])))
         txn.append_pandas("metrics", metrics_pdf, METRICS)
         txn.upsert(
             "frontier",
             "url_canon",
             frontier_new.coalesce(parts(n_popped + disc_stats["discovered"])),
-            delete_keys_pdf,
+            delete_keys,
         )
         txn.commit()
         self._bloom_add_from_seen_fragment(rnd)
+        tick("commit")
 
         if self.compact_every and rnd % self.compact_every == 0:
             self.store.compact(self.spark, "frontier", FRONTIER, rnd)
+        tick("compact")
 
-        for df in (popped, hits, fetched_seq, discovered):
+        for df in (popped, hits, extracted, discovered):
             df.unpersist()
         self._drain_scratch()
         return {
@@ -634,6 +669,7 @@ class CrawlEngine:
             "errors": n_errors,
             **disc_stats,
             "wall_ms": wall_ms,
+            "phases_ms": phases,
         }
 
     # ------------------------------------------------------------- the loop

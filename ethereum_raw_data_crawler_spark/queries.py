@@ -707,6 +707,93 @@ def embedding_topk(spark, sf):
     )
 
 
+@_q(
+    "ngram_jaccard",
+    "WITH grams AS ("
+    "  SELECT doc_id, source, list_distinct(list_transform("
+    "    generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),"
+    "    i -> string_split(text,' ')[i] || ' ' || "
+    "         coalesce(string_split(text,' ')[i+1], '') || ' ' || "
+    "         coalesce(string_split(text,' ')[i+2], ''))) AS gs"
+    "  FROM documents)"
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(len(list_intersect(a.gs, b.gs)) * 1.0 / "
+    "len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard "
+    "FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.gs, b.gs)) > 0",
+)
+def ngram_jaccard(spark, sf):
+    """Exact word-3-gram Jaccard near-dup pairs, blocked by source —
+    all JVM-side higher-order functions (split/transform/array_intersect),
+    no Python. The SQL-pairable sibling of the MinHash-LSH operator."""
+    d = _t(spark, sf, "documents")
+    w = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.coalesce(F.element_at(w, i + 2), F.lit("")),
+                F.coalesce(F.element_at(w, i + 3), F.lit("")),
+            ),
+        )
+    )
+    g = d.select("doc_id", "source", grams.alias("gs"))
+    a = g.select(
+        F.col("doc_id").alias("id_a"), "source", F.col("gs").alias("gs_a")
+    )
+    b = g.select(
+        F.col("doc_id").alias("id_b"), "source", F.col("gs").alias("gs_b")
+    )
+    jac = F.size(F.array_intersect("gs_a", "gs_b")) * 1.0 / F.size(
+        F.array_union("gs_a", "gs_b")
+    )
+    return (
+        a.join(b, "source")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.size(F.array_intersect("gs_a", "gs_b")) > 0)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@_q(
+    "embedding_near_dup",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5) "
+    "AS cos_sim FROM embeddings a JOIN embeddings b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.35",
+)
+def embedding_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    cheap blocking key standing in for an LSH bucket at this scale)."""
+    e = _t(spark, sf, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("eb")
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.35)
+        .select("id_a", "id_b", F.round(cos, 5).alias("cos_sim"))
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors for __spark_entry__
 # --------------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""Streaming ingest mode + multimodal plumbing tests."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from ethereum_raw_data_crawler_spark.config import CrawlConfig
+from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+
+
+def test_streaming_ingest_pushes_seeds_and_crawls(spark, t1_tables, tmp_path):
+    """Pushed URLs flow through the same pipeline as batch seeds; dupes
+    in the stream collapse via the seen-set (reference: websocket push ->
+    shared processBlock; NATS MsgId dedup window)."""
+    from ethereum_raw_data_crawler_spark.streaming.realtime import (
+        run_streaming_ingest,
+    )
+
+    tabs = t1_tables
+    relaxed = tabs["politeness"].copy()
+    relaxed["budget_per_round"] = 50
+    eng = CrawlEngine.create(
+        spark,
+        str(tmp_path / "store"),
+        spark.createDataFrame(tabs["pages"]),
+        spark.createDataFrame(
+            pd.DataFrame({"url": ["https://host1.example/p/0"], "priority": [0]})
+        ),
+        spark.createDataFrame(tabs["robots"]),
+        spark.createDataFrame(relaxed),
+        None,
+        CrawlConfig(batch_size=100, priority_cap=0),  # no outlink expansion
+    )
+    eng.run(max_rounds=1)
+    base_seen = {r["url_canon"] for r in eng.seen().collect()}
+
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    batch = [
+        {"url": "https://host2.example/p/0", "priority": 0,
+         "event_ts": "2025-01-01T00:00:00Z"},
+        {"url": "HTTPS://host2.example/p/0", "priority": 0,  # dup variant
+         "event_ts": "2025-01-01T00:00:01Z"},
+        {"url": "https://host3.example/p/0", "priority": 0,
+         "event_ts": "2025-01-01T00:00:02Z"},
+        {"url": "https://host1.example/p/0", "priority": 0,  # already seen
+         "event_ts": "2025-01-01T00:00:03Z"},
+    ]
+    with open(os.path.join(stream_dir, "batch1.json"), "w") as fh:
+        for row in batch:
+            fh.write(json.dumps(row) + "\n")
+
+    stats = run_streaming_ingest(spark, eng, stream_dir, rounds_per_batch=2)
+    assert stats and stats[0]["fetched"] >= 2
+    seen = {r["url_canon"] for r in eng.seen().collect()}
+    new = seen - base_seen
+    assert new == {"https://host2.example/p/0", "https://host3.example/p/0"}
+    trace_urls = {r["url_canon"] for r in eng.read_trace().collect()}
+    assert "https://host2.example/p/0" in trace_urls
+    assert "https://host3.example/p/0" in trace_urls
+
+
+def test_multimodal_feature_plumbing(spark):
+    from ethereum_raw_data_crawler_spark.functions.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        extract_media_features,
+        gen_media,
+    )
+
+    pdf = gen_media(100)
+    media = spark.createDataFrame(pdf)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 100
+    by_id = {r["media_id"]: r for r in feats}
+    for _, row in pdf.iterrows():
+        r = by_id[row["media_id"]]
+        assert r["n_bytes"] == len(row["payload"])
+        assert len(r["features"]) == FEATURE_DIM
+        # deterministic: distributed result equals the pure function
+        want = decode_media(row["payload"], row["kind"])
+        assert [round(float(x), 6) for x in r["features"]] == [
+            round(float(x), 6) for x in want
+        ]
+    # the real-decoder hook is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image", fake=False)

@@ -1,0 +1,105 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule): run the SAME
+crawl job on the SAME input at two parallelism levels (local[N] vs
+local[4N] — the sandbox proxy for N vs 4N executors) and report
+throughput at both plus efficiency = (T_N * N) / (T_4N * 4N)^-1, i.e.
+(throughput_4N / throughput_N) / 4.
+
+Usage: python tools/bench_scaling.py <cores> [rounds] [batch]
+Prints one JSON line; tools/run_scaling.sh drives both levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
+    scale = os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "bench")
+
+    import pandas as pd
+
+    from bench import _bench_corpus_dir
+    from ethereum_raw_data_crawler_spark.config import CrawlConfig
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+    from ethereum_raw_data_crawler_spark.session import get_spark
+
+    giant = os.environ.get("SPARK_GRAFT_GIANT", "0") == "1"
+    spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"scaling-{cores}")
+    corpus_dir = _bench_corpus_dir(scale)
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
+    politeness_pdf = pd.read_parquet(os.path.join(corpus_dir, "politeness.parquet"))
+    if giant:
+        # production-round shape: the frontier is pre-populated with the
+        # full URL universe; one round pops a multi-100k batch. This is
+        # what a round at 10^10-frontier scale looks like — per-round
+        # fixed costs are amortized over real work.
+        from pyspark.sql import functions as F
+
+        seed_path = os.path.join(corpus_dir, "seeds.parquet")
+        if os.path.exists(seed_path) and os.environ.get("SPARK_GRAFT_CRAWL_SCALE") == "xl":
+            seeds = spark.read.parquet(seed_path)
+        else:
+            seeds = pages.select("url", F.lit(0).cast("int").alias("priority"))
+        politeness_pdf["budget_per_round"] = batch
+    else:
+        seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
+        politeness_pdf["budget_per_round"] = 1000
+    politeness = spark.createDataFrame(politeness_pdf)
+
+    root = tempfile.mkdtemp(prefix=f"scaling_{cores}_")
+    try:
+        cfg = CrawlConfig(batch_size=batch)
+        t_setup = time.monotonic()
+        eng = CrawlEngine.create(
+            spark, root, pages, seeds, robots, politeness, None, cfg,
+            n_buckets=64, prune_pop=not giant,
+        )
+        setup_sec = time.monotonic() - t_setup
+        t0 = time.monotonic()
+        stats = eng.run(max_rounds=rounds)
+        wall = time.monotonic() - t0
+        fetched = sum(s["fetched"] for s in stats)
+        # steady-state window: skip the warm-up rounds where the frontier
+        # is still smaller than the batch
+        steady = [s for s in stats if s["popped"] >= batch * 0.5]
+        steady_fetched = sum(s["fetched"] for s in steady)
+        steady_wall = sum(s["wall_ms"] for s in steady) / 1000.0
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "rounds": len(stats),
+                    "batch": batch,
+                    "setup_sec": round(setup_sec, 2),
+                    "wall_sec": round(wall, 2),
+                    "fetched": fetched,
+                    "urls_per_sec": round(fetched / wall, 1),
+                    "steady_rounds": len(steady),
+                    "steady_fetched": steady_fetched,
+                    "steady_urls_per_sec": round(
+                        steady_fetched / steady_wall, 1
+                    )
+                    if steady_wall
+                    else None,
+                    "round_wall_ms": [s["wall_ms"] for s in stats],
+                    "phases_ms": [s.get("phases_ms") for s in stats],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
