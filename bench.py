@@ -54,7 +54,7 @@ def _bench_corpus_dir(scale_name: str) -> str:
     if not os.path.exists(marker):
         if scale_name == "xl":
             raise FileNotFoundError(
-                "xl corpus missing — generate with tools/gen_xl_corpus.py"
+                "xl corpus missing — generate with python -m ethereum_raw_data_crawler_spark.sources.xlgen"
             )
         scale = {"t1": synth.T1, "t2": synth.T2, "bench": synth.BENCH}[scale_name]
         synth.write_corpus(out, scale)
@@ -62,33 +62,51 @@ def _bench_corpus_dir(scale_name: str) -> str:
     return out
 
 
-def bench_crawl(spark, scale_name: str = "t2", rounds: int = 5) -> dict:
-    """Frontier-round throughput: a multi-round crawl at bench politeness
-    (budget 100/host, batch 2000) over the cached synthetic corpus."""
+def _benchx_corpus_dir(spark, n_pages: int = 1_000_000) -> str:
+    """Spark-parallel deterministic corpus for the crawl benchmark
+    (generated once per machine, ~30 s at 32 cores)."""
+    cache = os.environ.get("SPARK_GRAFT_CACHE", "/tmp/spark_graft_bench_cache")
+    out = os.path.join(cache, f"benchx_{n_pages}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        from ethereum_raw_data_crawler_spark.deploy import ship_package
+        from ethereum_raw_data_crawler_spark.sources.xlgen import generate
+
+        ship_package(spark)
+        generate(spark, n_pages, out)
+    return out
+
+
+def bench_crawl(spark, n_pages: int = 1_000_000, batch: int = 1_000_000) -> dict:
+    """Frontier-round throughput at the production round shape: the
+    frontier is pre-populated with the full URL universe and one round
+    pops a multi-100k batch (what a round at 10^10-frontier scale looks
+    like — per-round fixed costs amortized over real work)."""
     import shutil
     import tempfile
 
     import pandas as pd
+    from pyspark.sql import functions as F
 
     from ethereum_raw_data_crawler_spark.config import CrawlConfig
     from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
 
-    corpus_dir = _bench_corpus_dir(scale_name)
+    corpus_dir = _benchx_corpus_dir(spark, n_pages)
     pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
     seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
     robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
     politeness_pdf = pd.read_parquet(os.path.join(corpus_dir, "politeness.parquet"))
-    politeness_pdf["budget_per_round"] = 100
+    politeness_pdf["budget_per_round"] = batch
     politeness = spark.createDataFrame(politeness_pdf)
 
     root = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
-        cfg = CrawlConfig(batch_size=2000)
+        cfg = CrawlConfig(batch_size=batch)
         eng = CrawlEngine.create(
-            spark, root, pages, seeds, robots, politeness, None, cfg
+            spark, root, pages, seeds, robots, politeness, None, cfg,
+            n_buckets=64, prune_pop=False,
         )
         t0 = time.monotonic()
-        stats = eng.run(max_rounds=rounds)
+        stats = eng.run(max_rounds=1)
         wall = time.monotonic() - t0
         fetched = sum(s["fetched"] for s in stats)
         return {
@@ -97,6 +115,7 @@ def bench_crawl(spark, scale_name: str = "t2", rounds: int = 5) -> dict:
             "crawl_fetched": fetched,
             "crawl_urls_per_sec": round(fetched / wall, 2) if wall > 0 else 0.0,
             "crawl_round_sec": round(wall / max(1, len(stats)), 3),
+            "crawl_phases_ms": stats[0].get("phases_ms") if stats else None,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -105,15 +124,15 @@ def bench_crawl(spark, scale_name: str = "t2", rounds: int = 5) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    crawl_scale = os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "t2")
+    crawl_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "1000000"))
 
     from ethereum_raw_data_crawler_spark.session import get_spark
 
     spark = get_spark(cores=cpus, shuffle_partitions=cpus, app_name="bench")
 
     queries = bench_queries(spark, sf_dir)
-    crawl = bench_crawl(spark, crawl_scale)
-    queries["crawl_rounds_" + crawl_scale] = crawl["crawl_wall_sec"]
+    crawl = bench_crawl(spark, crawl_pages)
+    queries["crawl_round"] = crawl["crawl_wall_sec"]
 
     total = round(sum(queries.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

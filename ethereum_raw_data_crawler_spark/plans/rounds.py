@@ -98,6 +98,9 @@ class CrawlEngine:
         prune_pop: bool = True,
         compact_every: int = 8,
     ) -> None:
+        from ethereum_raw_data_crawler_spark.deploy import ship_package
+
+        ship_package(spark)
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.cfg = cfg

@@ -60,6 +60,9 @@ def _q(name: str, sql: str | None):
 
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from ethereum_raw_data_crawler_spark.deploy import ship_package
+
+    ship_package(spark)  # harness-owned sessions: make UDFs unpicklable
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

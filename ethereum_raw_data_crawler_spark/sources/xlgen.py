@@ -8,7 +8,7 @@ builds an N-million-page corpus with Spark itself: content is a pure
 function of the row id (seeded per-id numpy RNG), so the corpus is
 deterministic regardless of partitioning.
 
-Usage: python tools/gen_xl_corpus.py <n_pages> <out_dir> [hosts]
+Usage: python -m ethereum_raw_data_crawler_spark.sources.xlgen <n_pages> <out_dir> [hosts]
 """
 
 from __future__ import annotations
@@ -19,8 +19,6 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 _WORDS = (
     "data spark crawl frontier fetch page host queue batch round robot "
@@ -60,15 +58,7 @@ def gen_partition(
     )
 
 
-def main() -> None:
-    n_pages = int(sys.argv[1])
-    out_dir = sys.argv[2]
-    hosts = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
-    seed = 42
-
-    from ethereum_raw_data_crawler_spark.session import get_spark
-
-    spark = get_spark(cores=32, shuffle_partitions=64, app_name="gen-xl")
+def generate(spark, n_pages: int, out_dir: str, hosts: int = 1000, seed: int = 42) -> None:
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -125,6 +115,17 @@ def main() -> None:
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "seeds.parquet"))
     open(os.path.join(out_dir, "_DONE"), "w").write("ok")
     print("wrote", out_dir, n_pages, "pages")
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1])
+    out_dir = sys.argv[2]
+    hosts = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+
+    from ethereum_raw_data_crawler_spark.session import get_spark
+
+    spark = get_spark(cores=32, shuffle_partitions=64, app_name="gen-xl")
+    generate(spark, n_pages, out_dir, hosts)
 
 
 if __name__ == "__main__":
