@@ -798,6 +798,138 @@ def embedding_near_dup(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# §2.4 "free in Spark" analytics the reference lacks: windows,
+# sessionization, grouping sets, pivot (SURVEY.md §2.4 last row)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "window_running_sum",
+    "SELECT user_id, event_id, round(sum(value) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running "
+    "FROM events WHERE user_id < 20",
+)
+def window_running_sum(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("user_id") < 20)
+        .select(
+            "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running")
+        )
+    )
+
+
+@_q(
+    "topk_per_group",
+    "SELECT user_id, event_id, value_r FROM ("
+    "  SELECT user_id, event_id, round(value, 4) AS value_r, row_number() OVER ("
+    "    PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events"
+    ") WHERE rn <= 2 AND user_id < 50",
+)
+def topk_per_group(spark, sf):
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= 2) & (F.col("user_id") < 50))
+        .select("user_id", "event_id", F.round("value", 4).alias("value_r"))
+    )
+
+
+@_q(
+    "sessionization",
+    "WITH gaps AS ("
+    "  SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+    "    (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+    "    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "    THEN 1 ELSE 0 END AS new_session FROM events WHERE user_id < 20)"
+    "SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions "
+    "FROM gaps GROUP BY user_id",
+)
+def sessionization(spark, sf):
+    """Session counting via lag + gap threshold (SURVEY.md guide pattern;
+    the streaming sibling is session_window in streaming/realtime)."""
+    _utc(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("user_id") < 20)
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("new_session").alias("n_sessions"),
+        )
+    )
+
+
+@_q(
+    "cube_agg",
+    "SELECT coalesce(l_returnflag, '<all>') AS rf, "
+    "coalesce(l_linestatus, '<all>') AS ls, round(sum(l_quantity), 2) AS qty "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+def cube_agg(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "qty",
+        )
+    )
+
+
+@_q(
+    "pivot_status",
+    "SELECT o_orderpriority, "
+    "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open, "
+    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled, "
+    "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def pivot_status(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+@_q(
+    "approx_distinct",
+    "SELECT count(DISTINCT user_id) AS exact_users FROM events",
+)
+def approx_distinct(spark, sf):
+    """approx_count_distinct is the scale path for seen-set cardinality
+    estimates (SURVEY §2.4); the SQL oracle checks the exact sibling and
+    the approximate result is asserted within rsd in tests."""
+    return _t(spark, sf, "events").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+
+
+# --------------------------------------------------------------------------
 # registry accessors for __spark_entry__
 # --------------------------------------------------------------------------
 

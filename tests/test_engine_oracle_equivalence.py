@@ -85,7 +85,8 @@ def test_prefix_equivalence_fixture_politeness(spark, t1_tables, tmp_path):
         tabs["pages"], tabs["seeds"], tabs["robots"], tabs["politeness"],
         tabs["fetch_failures"], cfg,
     )
-    eng = _mk_engine(spark, tmp_path, tabs, cfg)
+    # compact_every=2: MOR compaction must be equality-invariant mid-crawl
+    eng = _mk_engine(spark, tmp_path, tabs, cfg, compact_every=2)
     stats = eng.run(max_rounds=6)
     otrace = [t for t in res.trace if t[0] <= 6]
     assert _engine_trace(eng) == otrace

@@ -122,6 +122,38 @@ def test_corpus_fetch_prunes_buckets(spark, t1_tables, tmp_path):
     assert "bucket" in plan  # partition filter reached the scan
 
 
+def test_no_row_at_a_time_udf_in_package_source():
+    """Static guard (SURVEY.md §7 known-hard #6): the package must never
+    register a row-at-a-time Python UDF — only pandas_udf / mapInPandas /
+    applyInPandas are allowed on the executor path."""
+    import os
+    import re
+
+    import ethereum_raw_data_crawler_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    bad = re.compile(r"(?<!pandas_)\budf\s*\(")
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            src = open(os.path.join(dirpath, f)).read()
+            for i, line in enumerate(src.splitlines(), 1):
+                if "F.udf(" in line or re.search(r"@udf\b", line):
+                    offenders.append(f"{f}:{i}: {line.strip()}")
+    assert not offenders, offenders
+
+
+def test_approx_distinct_close_to_exact(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
 def test_bloom_no_false_negatives():
     import numpy as np
 
