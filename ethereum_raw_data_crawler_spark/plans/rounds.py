@@ -675,6 +675,14 @@ class CrawlEngine:
             "phases_ms": phases,
         }
 
+    def cleanup_metrics(self, keep_last_rounds: int = 100) -> int:
+        """Metrics retention (reference: CleanupOldMetrics,
+        metrics_repository_impl.go:307-325): drop metrics fragments older
+        than ``keep_last_rounds`` rounds. Fragment-granular (Iceberg
+        expire-snapshots style), no row rewrite."""
+        cutoff = self.store.round - keep_last_rounds
+        return self.store.prune_fragments("metrics", cutoff, self.store.round)
+
     # ------------------------------------------------------------- the loop
     def pending_count(self) -> int:
         return self.frontier().where(F.col("status") == STATUS_PENDING).count()

@@ -167,6 +167,21 @@ class SnapshotStore:
     def transaction(self, rnd: int) -> "Transaction":
         return Transaction(self, rnd)
 
+    def prune_fragments(self, name: str, before_seq: int, rnd: int) -> int:
+        """Retention for append tables: drop fragments committed before
+        ``before_seq`` (the reference's CleanupOldMetrics,
+        metrics_repository_impl.go:307-325 — DELETE older than a cutoff,
+        here at Iceberg's expire-snapshots granularity: whole fragments,
+        no row rewrite). Returns fragments dropped."""
+        txn = self.transaction(rnd)
+        t = txn.manifest["tables"][name]
+        assert t["type"] == "append"
+        keep = [f for f in t["fragments"] if f["seq"] >= before_seq]
+        dropped = len(t["fragments"]) - len(keep)
+        t["fragments"] = keep
+        txn.commit()
+        return dropped
+
     def compact(
         self, spark: SparkSession, name: str, schema: T.StructType, rnd: int
     ) -> None:
