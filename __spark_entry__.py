@@ -35,6 +35,11 @@ def _crawl_store(spark: SparkSession):
         from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
         from ethereum_raw_data_crawler_spark.sources import synth
 
+        # harness-owned session: right-size runtime-mutable knobs for a
+        # tiny crawl (200 default shuffle partitions would be all overhead)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
         tabs = synth.gen_all(synth.T1)
         relaxed = tabs["politeness"].copy()
         relaxed["budget_per_round"] = 50
