@@ -1,0 +1,145 @@
+"""CLI entrypoint — the operational face of the engine (the reference's
+cmd/schedulers/main.go: config -> connect -> resume -> scheduler loop).
+
+  python -m ethereum_raw_data_crawler_spark crawl \
+      --store /data/crawlstore --pages pages.parquet --seeds seeds.parquet \
+      [--robots robots.parquet] [--politeness politeness.parquet] \
+      [--rounds N] [--batch-size B] [--cores C]
+
+  python -m ethereum_raw_data_crawler_spark resume --store /data/crawlstore [--rounds N]
+
+  python -m ethereum_raw_data_crawler_spark status --store /data/crawlstore
+
+On a cluster, the same module runs under
+``spark-submit --py-files pkg.zip -m``-style invocation; nothing here is
+local-mode specific except the default session factory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from ethereum_raw_data_crawler_spark.session import get_spark
+
+    return get_spark(cores=args.cores, app_name="crawl-frontier-cli")
+
+
+def cmd_crawl(args) -> int:
+    import pandas as pd
+
+    from ethereum_raw_data_crawler_spark.config import CrawlConfig
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+
+    spark = _spark(args)
+    pages = spark.read.parquet(args.pages)
+    seeds = spark.read.parquet(args.seeds)
+    if args.robots:
+        robots = spark.read.parquet(args.robots)
+    else:  # allow everything
+        hosts = pages.selectExpr(
+            "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1) AS host"
+        ).distinct()
+        robots = hosts.selectExpr(
+            "lower(host) AS host",
+            "true AS allowed",
+            "cast(null as string) AS disallow_prefix",
+        )
+    if args.politeness:
+        politeness = spark.read.parquet(args.politeness)
+    else:
+        politeness = spark.createDataFrame(
+            pd.DataFrame({"host": [], "budget_per_round": []}).astype(
+                {"host": "str", "budget_per_round": "int32"}
+            )
+        )
+    cfg = CrawlConfig(batch_size=args.batch_size, default_budget=args.default_budget)
+    eng = CrawlEngine.create(
+        spark, args.store, pages, seeds, robots, politeness, None, cfg
+    )
+    stats = eng.run(max_rounds=args.rounds)
+    for s in stats:
+        print(json.dumps(s))
+    return 0
+
+
+def cmd_resume(args) -> int:
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+
+    spark = _spark(args)
+    eng = CrawlEngine.resume(spark, args.store)
+    stats = eng.run(max_rounds=(eng.store.round + args.rounds) if args.rounds else None)
+    for s in stats:
+        print(json.dumps(s))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+    from ethereum_raw_data_crawler_spark.schemas import METRICS, SEEN
+
+    spark = _spark(args)
+    eng = CrawlEngine.resume(spark, args.store)
+    from pyspark.sql import functions as F
+
+    frontier = eng.frontier()
+    by_status = {
+        r["status"]: r["count"]
+        for r in frontier.groupBy("status").count().collect()
+    }
+    seen = eng.seen().count()
+    metrics = eng.store.read(spark, "metrics", METRICS)
+    agg = metrics.where(F.col("partition_id") == -1).agg(
+        F.sum("popped").alias("popped"),
+        F.sum("fetched").alias("fetched"),
+        F.sum("errors").alias("errors"),
+        F.sum("deduped").alias("deduped"),
+        F.sum("robots_filtered").alias("robots_filtered"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "round": eng.store.round,
+                "frontier": by_status,
+                "seen": seen,
+                "totals": {k: int(agg[k] or 0) for k in agg.asDict()},
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ethereum_raw_data_crawler_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="create a store and crawl")
+    c.add_argument("--store", required=True)
+    c.add_argument("--pages", required=True)
+    c.add_argument("--seeds", required=True)
+    c.add_argument("--robots", default=None)
+    c.add_argument("--politeness", default=None)
+    c.add_argument("--rounds", type=int, default=None)
+    c.add_argument("--batch-size", type=int, default=100)
+    c.add_argument("--default-budget", type=int, default=5)
+    c.set_defaults(fn=cmd_crawl)
+
+    r = sub.add_parser("resume", help="resume from the last snapshot")
+    r.add_argument("--store", required=True)
+    r.add_argument("--rounds", type=int, default=None)
+    r.set_defaults(fn=cmd_resume)
+
+    s = sub.add_parser("status", help="store state summary")
+    s.add_argument("--store", required=True)
+    s.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
