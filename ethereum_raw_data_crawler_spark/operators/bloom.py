@@ -85,10 +85,14 @@ class BloomFilter:
         return bf
 
 
-def split_by_bloom(df, key_col: str, bloom: BloomFilter, spark):
+def split_by_bloom(df, key_col: str, bloom: BloomFilter, spark, scratch=None):
     """Split candidates into (definitely_new, maybe_seen) using a broadcast
     bitmap — mapInPandas, zero shuffle. Only maybe_seen needs the exact
-    anti-join backstop."""
+    anti-join backstop.
+
+    The tagged intermediate is CACHED (owned by ``scratch``): both
+    returned branches read it, and without the cache each branch would
+    re-execute the full upstream candidate pipeline."""
     from pyspark.sql import types as T
 
     bc = spark.sparkContext.broadcast(bloom)
@@ -103,7 +107,9 @@ def split_by_bloom(df, key_col: str, bloom: BloomFilter, spark):
             mask = bc.value.contains_many(pdf[key_col].to_numpy(dtype=np.int64))
             yield pdf.assign(_maybe_seen=mask)
 
-    tagged = df.mapInPandas(tag, schema)
+    tagged = df.mapInPandas(tag, schema).cache()
+    if scratch is not None:
+        scratch.append(tagged)
     return (
         tagged.where(~tagged["_maybe_seen"]).drop("_maybe_seen"),
         tagged.where(tagged["_maybe_seen"]).drop("_maybe_seen"),

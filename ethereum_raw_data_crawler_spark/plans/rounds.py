@@ -35,7 +35,7 @@ import os
 import time
 from dataclasses import asdict
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ethereum_raw_data_crawler_spark.config import CrawlConfig
@@ -46,21 +46,18 @@ from ethereum_raw_data_crawler_spark.functions.spark_udfs import (
     with_host_and_path,
 )
 from ethereum_raw_data_crawler_spark.operators.bloom import BloomFilter, split_by_bloom
-from ethereum_raw_data_crawler_spark.operators.priority_pop import POP_ORDER, pop_batch
+from ethereum_raw_data_crawler_spark.operators.priority_pop import pop_batch
 from ethereum_raw_data_crawler_spark.schemas import (
     FETCH_FAILURES,
     FRONTIER,
     METRICS,
-    PAGES,
     PAGES_OUT,
     POLITENESS,
     ROBOTS,
-    SEEDS,
     SEEN,
     STATUS_FAILED,
     STATUS_FETCHED,
     STATUS_PENDING,
-    TRACE,
 )
 from ethereum_raw_data_crawler_spark.sources.tablestore import SnapshotStore
 
@@ -286,7 +283,9 @@ class CrawlEngine:
             )
             .drop("allowed", "disallow_prefix", "path")
             .withColumn("url_hash", url_hash_udf("url_canon"))
+            .cache()  # feeds two union branches; uncached it would run 2x
         )
+        self._scratch.append(gated)
         # seen-membership flag: Bloom kills the definitely-new rows map-side;
         # only maybe-seen rows reach the exact join against the seen table
         candidates_for_seen = gated.where(F.col("pass_cap") & F.col("pass_robots"))
@@ -294,7 +293,11 @@ class CrawlEngine:
         seen_keys = seen.select("url_hash").withColumn("seen_hit", F.lit(True))
         if self.use_bloom and self._bloom is not None:
             new_def, maybe = split_by_bloom(
-                candidates_for_seen, "url_hash", self._bloom, self.spark
+                candidates_for_seen,
+                "url_hash",
+                self._bloom,
+                self.spark,
+                scratch=self._scratch,
             )
             checked = maybe.join(seen_keys, "url_hash", "left").withColumn(
                 "seen_hit", F.coalesce(F.col("seen_hit"), F.lit(False))
