@@ -29,7 +29,6 @@ def _spark(args):
 
 
 def cmd_crawl(args) -> int:
-    import pandas as pd
 
     from ethereum_raw_data_crawler_spark.config import CrawlConfig
     from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
@@ -51,11 +50,9 @@ def cmd_crawl(args) -> int:
     if args.politeness:
         politeness = spark.read.parquet(args.politeness)
     else:
-        politeness = spark.createDataFrame(
-            pd.DataFrame({"host": [], "budget_per_round": []}).astype(
-                {"host": "str", "budget_per_round": "int32"}
-            )
-        )
+        from ethereum_raw_data_crawler_spark.schemas import POLITENESS
+
+        politeness = spark.createDataFrame([], POLITENESS)
     cfg = CrawlConfig(batch_size=args.batch_size, default_budget=args.default_budget)
     eng = CrawlEngine.create(
         spark, args.store, pages, seeds, robots, politeness, None, cfg

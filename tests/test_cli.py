@@ -1,0 +1,60 @@
+"""CLI entrypoint tests (python -m ethereum_raw_data_crawler_spark)."""
+
+import json
+import os
+
+from ethereum_raw_data_crawler_spark.__main__ import main
+from ethereum_raw_data_crawler_spark.sources import synth
+
+
+def test_cli_crawl_resume_status(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    synth.write_corpus(corpus, synth.T1)
+    store = str(tmp_path / "store")
+
+    rc = main(
+        [
+            "crawl",
+            "--store", store,
+            "--pages", os.path.join(corpus, "pages.parquet"),
+            "--seeds", os.path.join(corpus, "seeds.parquet"),
+            "--robots", os.path.join(corpus, "robots.parquet"),
+            "--politeness", os.path.join(corpus, "politeness.parquet"),
+            "--rounds", "2",
+            "--batch-size", "100",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [s["round"] for s in lines] == [1, 2]
+    assert lines[0]["fetched"] > 0
+
+    rc = main(["resume", "--store", store, "--rounds", "1"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [s["round"] for s in lines] == [3]
+
+    rc = main(["status", "--store", store])
+    assert rc == 0
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["round"] == 3
+    assert status["totals"]["fetched"] == status["frontier"].get("fetched", 0)
+    assert status["seen"] >= status["totals"]["fetched"]
+
+
+def test_cli_crawl_without_dims_defaults(spark, tmp_path, capsys):
+    """robots/politeness omitted -> allow-all + default budget."""
+    corpus = str(tmp_path / "corpus")
+    synth.write_corpus(corpus, synth.T1)
+    rc = main(
+        [
+            "crawl",
+            "--store", str(tmp_path / "store2"),
+            "--pages", os.path.join(corpus, "pages.parquet"),
+            "--seeds", os.path.join(corpus, "seeds.parquet"),
+            "--rounds", "1",
+        ]
+    )
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert line["fetched"] > 0

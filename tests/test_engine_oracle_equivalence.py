@@ -152,6 +152,31 @@ def test_resume_from_snapshot(spark, t1_tables, tmp_path):
     assert eseen == set(res.seen)
 
 
+def test_resume_rebuilds_bloom_from_seen(spark, t1_tables, tmp_path):
+    """Resume with the persisted Bloom bitmaps deleted must rebuild from
+    the seen table and stay exactly equivalent (the prefilter is
+    correctness-neutral by construction)."""
+    import glob
+    import os
+
+    tabs = t1_tables
+    relaxed = tabs["politeness"].copy()
+    relaxed["budget_per_round"] = 50
+    cfg = CrawlConfig(batch_size=400)
+    res = run_oracle(
+        tabs["pages"], tabs["seeds"], tabs["robots"], relaxed,
+        tabs["fetch_failures"], cfg,
+    )
+    eng = _mk_engine(spark, tmp_path, tabs, cfg, politeness=relaxed)
+    eng.run(max_rounds=2)
+    del eng
+    for f in glob.glob(str(tmp_path / "store" / "bloom-*.npz")):
+        os.remove(f)
+    resumed = CrawlEngine.resume(spark, str(tmp_path / "store"))
+    resumed.run()
+    assert _engine_trace(resumed) == res.trace
+
+
 def test_determinism_across_parallelism(spark, t1_tables, tmp_path):
     """local[8] (session fixture) vs local[2]-equivalent shuffle width:
     same trace (SURVEY.md §7 known-hard #1). Parallelism is varied via
