@@ -14,11 +14,19 @@ host-partitioned window every round. We pre-prune map-side with a bounded
 per-partition top-k (``_local_host_topk`` via mapInPandas, memory ≤
 hosts-in-partition × budget), so the exact window only sees
 ≤ partitions × hosts × budget rows — the same partial-aggregation trick
-a map-side combiner does for sums. This is also the hot-host skew
-treatment: a host with 10^7 pending rows contributes at most ``budget``
-rows per partition to the shuffle instead of 10^7 rows into one window
-task. Correctness-neutral: the global per-host top-k is contained in the
-union of per-partition top-ks; tests cross-check pruned vs unpruned pops.
+a map-side combiner does for sums.
+
+This IS the salted-host repartition for hot-domain skew, in its exact
+two-phase form: phase 1 takes the per-(salt, host) top-``budget`` where
+the salt is the physical partition id (rows of one host are already
+spread across partitions by the frontier's hash layout, so no extra
+shuffle is spent planting an explicit salt column); phase 2 re-ranks the
+per-salt winners exactly. A host with 10^7 pending rows therefore
+contributes at most ``budget`` rows per partition to the shuffle instead
+of 10^7 rows into one window task; AQE skew-join splitting
+(spark.sql.adaptive.skewJoin) backstops any residual imbalance.
+Correctness-neutral: the global per-host top-k is contained in the union
+of per-salt top-ks; tests cross-check pruned vs unpruned pops.
 """
 
 from __future__ import annotations

@@ -622,6 +622,27 @@ def doc_fingerprint(spark, sf):
 
 
 @_q(
+    "rolling_hash_fingerprint",
+    "SELECT doc_id, list_reduce(list_transform("
+    "generate_series(1, length(text)), i -> CAST(ord(text[i]) AS BIGINT)), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647) AS rhash FROM documents",
+)
+def rolling_hash_fingerprint(spark, sf):
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp style,
+    base 31 mod 2^31-1) — pure higher-order functions on both engines,
+    char-exact across them."""
+    d = _t(spark, sf, "documents")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("bigint"),
+    )
+    rhash = F.aggregate(
+        codes, F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % 2147483647
+    )
+    return d.select("doc_id", rhash.alias("rhash"))
+
+
+@_q(
     "token_count",
     "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents",
 )
