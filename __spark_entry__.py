@@ -153,6 +153,17 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, query, k=10, n_planes=4)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_raw_data_crawler_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [
+        float(x)
+        for x in emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    ]
+    return ivf_topk(emb, query, k=10, n_probe=6)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ethereum_raw_data_crawler_spark.functions.multimodal import (
         extract_media_features,
@@ -178,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": _q_minhash_lsh,
             "dedup_simhash": _q_simhash,
             "ann_lsh_topk": _q_ann_lsh,
+            "ann_ivf_topk": _q_ann_ivf,
             "media_features": _q_media_features,
         }
     )

@@ -117,6 +117,79 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: np.ndarray, k: int = 16, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means (numpy) — the IVF coarse quantizer.
+    Trained on a driver-side sample; at 10^10 scale the sample is a
+    bounded `.sample().toPandas()` (quantizer quality needs thousands of
+    points, not the corpus)."""
+    rng = np.random.default_rng(seed)
+    cents = vectors[rng.choice(len(vectors), size=min(k, len(vectors)), replace=False)]
+    for _ in range(iters):
+        d = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = vectors[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2000,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer -> assign every vector to its
+    nearest centroid list (one Arrow pass) -> exact cosine only over the
+    query's ``n_probe`` nearest lists. The scale path partitions/buckets
+    the corpus by ``list_id`` so a query reads n_probe/n_lists of the
+    data; here the assignment happens inline."""
+    # deterministic sample: ordered prefix (limit without order is not)
+    pdf_sample = (
+        embeddings.orderBy(id_col).select(vec_col).limit(sample).toPandas()
+    )
+    train = np.stack(pdf_sample[vec_col].to_numpy()).astype(np.float64)
+    cents = kmeans_centroids(train, k=n_lists, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probes = (
+        ((cents - q[None, :]) ** 2).sum(axis=1).argsort()[:n_probe].tolist()
+    )
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+    schema = T.StructType(
+        list(embeddings.schema.fields)
+        + [T.StructField("list_id", T.IntegerType(), False)]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((vecs[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+            yield pdf.assign(list_id=d.argmin(axis=1).astype(np.int32))
+
+    listed = embeddings.mapInPandas(assign, schema)
+    cand = listed.where(F.col("list_id").isin([int(p) for p in probes]))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            id_col, F.round(cosine_col(F.col(vec_col), qcol), 5).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
 def lsh_topk_oracle(
     pdf: pd.DataFrame,
     query_vec: list[float],

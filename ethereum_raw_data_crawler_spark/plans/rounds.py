@@ -225,6 +225,14 @@ class CrawlEngine:
     def seen(self) -> DataFrame:
         return self.store.read(self.spark, "seen", SEEN)
 
+    def as_of(self, rnd: int, name: str, schema) -> DataFrame:
+        """Time-travel read: table contents as committed at round ``rnd``
+        (Iceberg snapshot-id reads — every round's manifest is retained).
+        The audit/debug twin of resume: 'what did the frontier look like
+        after round k?' without replaying anything."""
+        v = self.store.version_for_round(rnd)
+        return self.store.read(self.spark, name, schema, version=v)
+
     def read_trace(self) -> DataFrame:
         """The crawl trace (FIXTURES.md §7) is a projection of pages_out —
         (fetch_round, fetch_seq) ARE the trace order, so no separate table

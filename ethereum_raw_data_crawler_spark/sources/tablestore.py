@@ -75,7 +75,13 @@ class SnapshotStore:
                     best = max(best, int(f[len("manifest-") : -len(".json")]))
         return best
 
-    def manifest(self) -> dict:
+    def manifest(self, version: int | None = None) -> dict:
+        """Current manifest, or a historical one (time travel — every
+        commit's manifest is retained, Iceberg snapshot-id reads)."""
+        if version is not None:
+            path = os.path.join(self.root, f"manifest-{version:06d}.json")
+            with open(path) as fh:
+                return json.load(fh)
         if self._manifest is None:
             v = self._manifest_version()
             if v < 0:
@@ -83,6 +89,20 @@ class SnapshotStore:
             with open(os.path.join(self.root, f"manifest-{v:06d}.json")) as fh:
                 self._manifest = json.load(fh)
         return self._manifest
+
+    def version_for_round(self, rnd: int) -> int:
+        """Latest manifest version whose committed round <= rnd."""
+        best = None
+        for v in range(self._manifest_version() + 1):
+            try:
+                m = self.manifest(version=v)
+            except FileNotFoundError:
+                continue
+            if m["round"] <= rnd:
+                best = v
+        if best is None:
+            raise ValueError(f"no snapshot at or before round {rnd}")
+        return best
 
     @property
     def round(self) -> int:
@@ -127,10 +147,12 @@ class SnapshotStore:
         name: str,
         schema: T.StructType,
         partition_filter: str | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Current contents of ``name``. For MOR tables, resolves equality
+        """Contents of ``name`` — current, or as of an older manifest
+        ``version`` (time travel). For MOR tables, resolves equality
         deletes (one broadcast join against the bounded delete set)."""
-        t = self.manifest()["tables"][name]
+        t = self.manifest(version=version)["tables"][name]
         if t["type"] == "append":
             df = self._read_fragments(spark, t["fragments"], schema)
             return df.where(partition_filter) if partition_filter else df

@@ -101,6 +101,65 @@ def test_lsh_ann_matches_oracle_and_recall(spark):
     assert len(exact & approx) >= 5, (exact, approx)
 
 
+def test_ivf_ann_recall_and_determinism(spark):
+    from ethereum_raw_data_crawler_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    query = [float(x) for x in pdf.loc[pdf["vec_id"] == 0, "embedding"].iloc[0]]
+    got1 = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(emb, query, k=10, n_probe=6).collect()
+    ]
+    got2 = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(emb, query, k=10, n_probe=6).collect()
+    ]
+    assert got1 == got2  # deterministic quantizer + assignment
+    assert len(got1) == 10
+    exact = {r["vec_id"] for r in brute_force_topk(emb, query, k=10).collect()}
+    approx = {v for v, _ in got1}
+    # probing 6/16 lists catches most true neighbors (measured: 8/10 here,
+    # 9/10 at n_probe=8 — the fixture's label clusters are weak)
+    assert len(exact & approx) >= 6, (exact, approx)
+
+
+def test_snapshot_time_travel(spark, t1_tables, tmp_path):
+    """as_of(round k) returns exactly the state committed at round k
+    (Iceberg snapshot reads over retained manifests)."""
+    import pandas as pd
+
+    from ethereum_raw_data_crawler_spark.config import CrawlConfig
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+    from ethereum_raw_data_crawler_spark.schemas import FRONTIER, SEEN
+
+    tabs = t1_tables
+    relaxed = tabs["politeness"].copy()
+    relaxed["budget_per_round"] = 50
+    eng = CrawlEngine.create(
+        spark,
+        str(tmp_path / "store"),
+        spark.createDataFrame(tabs["pages"]),
+        spark.createDataFrame(tabs["seeds"]),
+        spark.createDataFrame(tabs["robots"]),
+        spark.createDataFrame(relaxed),
+        None,
+        CrawlConfig(batch_size=400),
+    )
+    eng.run(max_rounds=3)
+    seen_now = eng.seen().count()
+    seen_r1 = eng.as_of(1, "seen", SEEN).count()
+    seen_r2 = eng.as_of(2, "seen", SEEN).count()
+    assert seen_r1 < seen_r2 < seen_now
+    # frontier as of round 1: exactly the rows fetched in round 1
+    fro_r1 = eng.as_of(1, "frontier", FRONTIER)
+    fetched_r1 = {r["url_canon"] for r in fro_r1.where("status = 'fetched'").collect()}
+    trace_r1 = {
+        r["url_canon"] for r in eng.read_trace().where("round = 1").collect()
+    }
+    assert fetched_r1 == trace_r1
+
+
 def test_brute_force_topk_is_exact(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     pdf = emb.toPandas()
