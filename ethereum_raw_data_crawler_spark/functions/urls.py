@@ -24,8 +24,8 @@ two paths is structural.
 
 from __future__ import annotations
 
-import hashlib
-import struct
+
+
 from urllib.parse import urlsplit
 
 _UNRESERVED = set(
@@ -181,16 +181,81 @@ def host_of(url_canon: str | None) -> str | None:
     return netloc or None
 
 
+# XXH64 (public spec, xxhash.com) — bit-exact with Spark's F.xxhash64
+# (seed 42 over UTF-8 bytes), verified on randomized inputs in tests.
+_M = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    11400714785074694791,
+    14029467366897019727,
+    1609587929392839161,
+    9650029242287828579,
+    2870177450012600261,
+)
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1, v2, v3, v4 = (
+            (seed + _P1 + _P2) & _M,
+            (seed + _P2) & _M,
+            seed & _M,
+            (seed - _P1) & _M,
+        )
+        while i <= n - 32:
+            vs = [v1, v2, v3, v4]
+            for j in range(4):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = (vs[j] + lane * _P2) & _M
+                vs[j] = (_rotl(v, 31) * _P1) & _M
+            v1, v2, v3, v4 = vs
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            v = (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = ((h ^ v) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i <= n - 8:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        k = (_rotl((lane * _P2) & _M, 31) * _P1) & _M
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
 def url_hash64(url_canon: str) -> int:
-    """Signed 64-bit dedup key: first 8 bytes of sha256(url_canon).
+    """Signed 64-bit dedup key: xxhash64(utf-8 bytes, seed 42) — chosen to
+    be BIT-EXACT with Spark's built-in ``F.xxhash64``, so the engine
+    computes it JVM-side inside whole-stage codegen (no Python crossing)
+    while the oracle uses this pure function.
 
     The engine's analogue of the reference's unique index on ``hash`` /
     ``number`` (reference: internal/infrastructure/database/mongodb.go:86-92,
-    111-115) — here the key is computed up front and dedup is a set
-    operation, not a constraint violation.
+    111-115) — the key is computed up front and dedup is a set operation,
+    not a constraint violation.
     """
-    digest = hashlib.sha256(url_canon.encode("utf-8")).digest()
-    return struct.unpack(">q", digest[:8])[0]
+    h = xxh64(url_canon.encode("utf-8"))
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def path_of(url_canon: str) -> str:

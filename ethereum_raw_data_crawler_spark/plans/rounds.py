@@ -42,7 +42,6 @@ from ethereum_raw_data_crawler_spark.config import CrawlConfig
 from ethereum_raw_data_crawler_spark.functions.spark_udfs import (
     canonicalize_udf,
     extract_page_udf,
-    url_hash_udf,
     with_host_and_path,
 )
 from ethereum_raw_data_crawler_spark.operators.bloom import BloomFilter, split_by_bloom
@@ -147,7 +146,7 @@ class CrawlEngine:
         corpus = (
             pages.withColumn("url_canon", canonicalize_udf("url"))
             .where(F.col("url_canon").isNotNull())
-            .withColumn("url_hash", url_hash_udf("url_canon"))
+            .withColumn("url_hash", F.xxhash64("url_canon"))
             .withColumn(
                 "bucket", F.pmod(F.col("url_hash"), F.lit(eng.n_buckets)).cast("int")
             )
@@ -290,7 +289,7 @@ class CrawlEngine:
                 ),
             )
             .drop("allowed", "disallow_prefix", "path")
-            .withColumn("url_hash", url_hash_udf("url_canon"))
+            .withColumn("url_hash", F.xxhash64("url_canon"))
             .cache()  # feeds two union branches; uncached it would run 2x
         )
         self._scratch.append(gated)

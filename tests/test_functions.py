@@ -71,6 +71,24 @@ def test_url_hash_is_stable_signed_64():
     assert h != url_hash64("https://host1.example/p/1")
 
 
+def test_url_hash_bit_exact_with_spark_xxhash64(spark):
+    """The oracle's pure-Python hash and the engine's JVM-side F.xxhash64
+    must agree bit-for-bit (the engine's dedup correctness rides on it)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(2)
+    urls = [f"https://host{i}.example/p/{i}" for i in range(50)] + [
+        "".join(random.choice("abc0…%/?=.-_~:") for _ in range(random.randint(1, 100)))
+        for _ in range(500)
+    ] + ["", "a" * 31, "b" * 32, "c" * 33, "d" * 100]
+    df = spark.createDataFrame([(u,) for u in urls], "s string")
+    got = [r["h"] for r in df.select(F.xxhash64("s").alias("h")).collect()]
+    want = [url_hash64(u) for u in urls]
+    assert got == want
+
+
 def test_extract_text_basic():
     html = (
         b"<html><head><title>t</title><style>x{}</style></head>"
