@@ -40,14 +40,50 @@ def _mix(h: np.ndarray, salt: int) -> np.ndarray:
     return z
 
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
 class BloomFilter:
-    """Plain bit-array Bloom filter over int64 keys (numpy-vectorized)."""
+    """Plain bit-array Bloom filter over int64 keys (numpy-vectorized).
+
+    Sized to the expected seen-set cardinality (``sized_for``), with the
+    engine growing/rebuilding it when ``should_grow`` trips — a fixed
+    bitmap saturates (FPR -> 1) past its design point and the prefilter
+    silently stops helping while still costing a broadcast."""
 
     def __init__(self, n_bits: int = 1 << 23, k: int = 5) -> None:
         assert n_bits % 64 == 0
         self.n_bits = n_bits
         self.k = k
         self.words = np.zeros(n_bits // 64, dtype=np.uint64)
+        self.n_added = 0
+
+    @classmethod
+    def sized_for(cls, expected_keys: int, fpr: float = 0.01) -> "BloomFilter":
+        """Optimal-size constructor: n_bits = -n*ln(p)/ln(2)^2, k = m/n*ln2."""
+        import math
+
+        n = max(int(expected_keys), 1024)
+        m = int(-n * math.log(fpr) / (math.log(2) ** 2))
+        m = ((m + 63) // 64) * 64
+        k = max(1, round(m / n * math.log(2)))
+        return cls(n_bits=m, k=k)
+
+    @property
+    def capacity(self) -> int:
+        """Keys at which the set-bit fraction reaches ~0.5 (the classic
+        design point: FPR ≈ 0.5^k there)."""
+        import math
+
+        return int(self.n_bits * math.log(2) / self.k)
+
+    def saturation(self) -> float:
+        """Fraction of set bits — the live FPR estimate is saturation^k."""
+        set_bits = int(_POPCOUNT8[self.words.view(np.uint8)].sum(dtype=np.int64))
+        return set_bits / self.n_bits
+
+    def should_grow(self) -> bool:
+        return self.n_added > self.capacity
 
     def _positions(self, keys: np.ndarray) -> np.ndarray:
         h = keys.astype(np.int64).view(np.uint64)
@@ -62,6 +98,7 @@ class BloomFilter:
         np.bitwise_or.at(
             self.words, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
         )
+        self.n_added += len(keys)
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         """Boolean mask: True = maybe present, False = definitely absent."""
@@ -75,13 +112,16 @@ class BloomFilter:
 
     # -- persistence beside the snapshot manifest ---------------------------
     def save(self, path: str) -> None:
-        np.savez(path, words=self.words, n_bits=self.n_bits, k=self.k)
+        np.savez(
+            path, words=self.words, n_bits=self.n_bits, k=self.k, n_added=self.n_added
+        )
 
     @classmethod
     def load(cls, path: str) -> "BloomFilter":
         z = np.load(path)
         bf = cls(int(z["n_bits"]), int(z["k"]))
         bf.words = z["words"]
+        bf.n_added = int(z["n_added"]) if "n_added" in z else 0
         return bf
 
 

@@ -49,6 +49,7 @@ from ethereum_raw_data_crawler_spark.operators.priority_pop import pop_batch
 from ethereum_raw_data_crawler_spark.schemas import (
     FETCH_FAILURES,
     FRONTIER,
+    HEALTH,
     METRICS,
     PAGES_OUT,
     POLITENESS,
@@ -79,6 +80,7 @@ _TABLES = {
     "pages_out": "append",
     "seen": "append",
     "metrics": "append",
+    "health": "append",
     "frontier": "mor",
 }
 
@@ -200,16 +202,7 @@ class CrawlEngine:
             if os.path.exists(bloom_path):
                 eng._bloom = BloomFilter.load(bloom_path)
             else:  # rebuild from the seen table (correctness-neutral)
-                eng._bloom = BloomFilter()
-                import numpy as np
-
-                hashes = (
-                    eng.store.read(spark, "seen", SEEN)
-                    .select("url_hash")
-                    .toPandas()["url_hash"]
-                    .to_numpy(dtype=np.int64)
-                )
-                eng._bloom.add_many(hashes)
+                eng._bloom = eng._bloom_rebuild_streaming()
         return eng
 
     # ------------------------------------------------------------ table reads
@@ -223,6 +216,20 @@ class CrawlEngine:
 
     def seen(self) -> DataFrame:
         return self.store.read(self.spark, "seen", SEEN)
+
+    def health(self) -> DataFrame:
+        """Per-(round, component) health gauges (reference: system_health
+        collection, crawler_metrics.go:46-53)."""
+        return self.store.read(self.spark, "health", HEALTH)
+
+    def delete_pages(self, predicate: str) -> int:
+        """Takedown/redaction: row-level DELETE FROM pages_out WHERE
+        ``predicate`` (reference: DeleteBlock/DeleteTransactionsByBlockHash,
+        block_repository_impl.go:264-268). Copy-on-write, fragment-pruned;
+        older snapshots still show the pre-delete state (time travel)."""
+        return self.store.delete_where(
+            self.spark, "pages_out", PAGES_OUT, predicate, self.store.round
+        )
 
     def as_of(self, rnd: int, name: str, schema) -> DataFrame:
         """Time-travel read: table contents as committed at round ``rnd``
@@ -410,9 +417,34 @@ class CrawlEngine:
         rows.unpersist()
         self._drain_scratch()
 
+    def _bloom_rebuild_streaming(self, expected_keys: int | None = None) -> BloomFilter:
+        """Rebuild the bitmap from the seen table's parquet fragments,
+        streamed batch-by-batch through pyarrow — bounded driver memory,
+        never a single collect of the full seen set. Sized from the actual
+        seen cardinality (parquet footer row counts) with 2x headroom.
+        (On a multi-executor cluster the same fold runs as a per-partition
+        bitmap OR via treeAggregate; the arrow path covers any filesystem
+        pyarrow reads, which includes this store.)"""
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        frags = self.store.manifest()["tables"]["seen"]["fragments"]
+        if expected_keys is None:
+            expected_keys = 2 * max(self.store.fragment_rows(frags), 1)
+        bf = BloomFilter.sized_for(expected_keys)
+        for frag in frags:
+            d = ds.dataset(
+                os.path.join(self.store.root, frag["dir"]), format="parquet"
+            )
+            for batch in d.to_batches(columns=["url_hash"]):
+                bf.add_many(batch.column("url_hash").to_numpy().astype(np.int64))
+        return bf
+
     def _bloom_add_from_seen_fragment(self, rnd: int) -> None:
         """OR the just-committed seen fragment into the Bloom bitmap by
-        reading its parquet straight off disk — no Spark job."""
+        reading its parquet straight off disk — no Spark job. When the
+        bitmap passes its design capacity (saturation -> FPR collapse),
+        rebuild it at the next size from the seen table."""
         if not self.use_bloom or self._bloom is None:
             return
         import numpy as np
@@ -422,6 +454,8 @@ class CrawlEngine:
         absdir = os.path.join(self.store.root, frag["dir"])
         table = pq.read_table(absdir, columns=["url_hash"])
         self._bloom.add_many(table.column("url_hash").to_numpy().astype(np.int64))
+        if self._bloom.should_grow():
+            self._bloom = self._bloom_rebuild_streaming()
         self._bloom.save(os.path.join(self.store.root, f"bloom-{rnd}.npz"))
 
     # ------------------------------------------------------------- one round
@@ -654,10 +688,24 @@ class CrawlEngine:
         def parts(n: int, per: int = 100_000) -> int:
             return max(1, min(64, n // per + 1))
 
+        # component-health snapshot (reference: performHealthCheck,
+        # crawler_service.go:666-907) — gauges already in hand, no extra job
+        err_frac = (n_errors / n_popped) if n_popped else 0.0
+        sat = self._bloom.saturation() if self._bloom is not None else 0.0
+        health_rows = [
+            (rnd, "store", True, float(self.store.manifest()["version"]), "manifest version"),
+            (rnd, "bloom", sat < 0.5, float(sat), "bitmap saturation"),
+            (rnd, "fetch", err_frac < 0.5, float(err_frac), "error fraction"),
+            (rnd, "scheduler", True, float(wall_ms), "round wall ms"),
+        ]
+        health_pdf = pd.DataFrame(health_rows, columns=[f.name for f in HEALTH.fields])
+
         txn = self.store.transaction(rnd)
         txn.append("pages_out", pages_out)
         txn.append("seen", new_seen.coalesce(parts(disc_stats["discovered"])))
         txn.append_pandas("metrics", metrics_pdf, METRICS)
+        if "health" in txn.manifest["tables"]:  # stores created pre-§10
+            txn.append_pandas("health", health_pdf, HEALTH)
         txn.upsert(
             "frontier",
             "url_canon",
@@ -704,12 +752,17 @@ class CrawlEngine:
         out = []
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
         rnd = self.store.round
+        # pre-round exhaustion check, mirroring the oracle's break: a crawl
+        # that ends by exhaustion must NOT execute (and commit) one extra
+        # empty round. The exact pending count is only paid when the last
+        # round could have exhausted the frontier — any round that
+        # discovered new URLs leaves them pending, so it cannot have.
+        may_be_exhausted = True  # unknown at (re)entry
         while rnd < limit:
+            if may_be_exhausted and self.pending_count() == 0:
+                break
             rnd += 1
             stats = self.run_round(rnd)
             out.append(stats)
-            # an empty pop means either exhaustion or an all-skipped lull
-            # (skip_until in the future); only then pay for the exact check
-            if stats["popped"] == 0 and self.pending_count() == 0:
-                break
+            may_be_exhausted = stats["discovered"] == 0
         return out

@@ -870,7 +870,8 @@ def topk_per_group(spark, sf):
     "    (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
     "    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
     "    THEN 1 ELSE 0 END AS new_session FROM events WHERE user_id < 20)"
-    "SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions "
+    "SELECT user_id, count(*) AS n_events, "
+    "CAST(sum(new_session) AS BIGINT) AS n_sessions "
     "FROM gaps GROUP BY user_id",
 )
 def sessionization(spark, sf):
@@ -917,9 +918,9 @@ def cube_agg(spark, sf):
 @_q(
     "pivot_status",
     "SELECT o_orderpriority, "
-    "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open, "
-    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled, "
-    "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial "
+    "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial "
     "FROM orders GROUP BY o_orderpriority",
 )
 def pivot_status(spark, sf):

@@ -119,6 +119,20 @@ METRICS = T.StructType(
     ]
 )
 
+# §10 health — one component-health row per (round, component). Analogue
+# of performHealthCheck -> system_health (reference: crawler_service.go:
+# 666-907; crawler_metrics.go:46-53): component status + a numeric gauge,
+# written inside the round's atomic commit.
+HEALTH = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("component", T.StringType(), False),
+        T.StructField("healthy", T.BooleanType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("detail", T.StringType(), True),
+    ]
+)
+
 # §9 fetch_failures — failure injection (retry/skip semantics).
 # fail_attempts holds 1-based fetch-attempt ordinals that raise a
 # retryable error, mirroring the failedBlocks/skippedBlocks machine

@@ -62,6 +62,12 @@ def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
 
 
 class SnapshotStore:
+    # Above this many accumulated delete-set rows a MOR read stops hinting
+    # F.broadcast on the delete side (a multi-GB broadcast at production
+    # pop sizes is a driver/executor OOM) and lets the planner/AQE pick a
+    # shuffle join from the real sizes instead.
+    BROADCAST_DELETE_MAX = 1_000_000
+
     def __init__(self, root: str) -> None:
         self.root = root
         self._manifest: dict | None = None
@@ -91,14 +97,22 @@ class SnapshotStore:
         return self._manifest
 
     def version_for_round(self, rnd: int) -> int:
-        """Latest manifest version whose committed round <= rnd."""
+        """Latest manifest version whose committed round <= rnd.
+
+        The current manifest carries the full [version, round] commit
+        history (Iceberg's snapshot log), so this is an in-memory scan —
+        O(1) file reads, not one JSON read per historical manifest."""
+        hist = self.manifest().get("history")
+        if hist is None:  # stores created before the history field
+            hist = []
+            for v in range(self._manifest_version() + 1):
+                try:
+                    hist.append([v, self.manifest(version=v)["round"]])
+                except FileNotFoundError:
+                    continue
         best = None
-        for v in range(self._manifest_version() + 1):
-            try:
-                m = self.manifest(version=v)
-            except FileNotFoundError:
-                continue
-            if m["round"] <= rnd:
+        for v, r in hist:
+            if r <= rnd:
                 best = v
         if best is None:
             raise ValueError(f"no snapshot at or before round {rnd}")
@@ -117,6 +131,7 @@ class SnapshotStore:
         manifest = {
             "version": 0,
             "round": -1,
+            "history": [[0, -1]],
             "tables": {
                 name: {"type": kind, "fragments": [], "deletes": []}
                 for name, kind in tables.items()
@@ -133,6 +148,18 @@ class SnapshotStore:
         self._manifest = manifest
 
     # ---- reads -------------------------------------------------------------
+    def fragment_rows(self, frags: list[dict]) -> int:
+        """Total row count across fragments from parquet footers only —
+        no Spark job, no data read (Iceberg manifest row-count stats)."""
+        import pyarrow.dataset as ds
+
+        total = 0
+        for f in frags:
+            total += ds.dataset(
+                os.path.join(self.root, f["dir"]), format="parquet"
+            ).count_rows()
+        return total
+
     def _read_fragments(
         self, spark: SparkSession, frags: list[dict], schema: T.StructType
     ) -> DataFrame:
@@ -176,10 +203,15 @@ class SnapshotStore:
             .groupBy("key")
             .agg(F.max("del_seq").alias("del_seq"))
         )
+        # broadcast only while the accumulated delete set is genuinely
+        # small (footer row counts, no job); past the threshold the hint
+        # would OOM the driver — shuffle instead and let AQE choose.
+        if self.fragment_rows(t["deletes"]) <= self.BROADCAST_DELETE_MAX:
+            dels = F.broadcast(dels)
         key = t["key"]
         return (
             rows.join(
-                F.broadcast(dels), rows[key] == dels["key"], "left"
+                dels, rows[key] == dels["key"], "left"
             )
             .where(F.col("del_seq").isNull() | (F.col(SEQ_COL) >= F.col("del_seq")))
             .drop("key", "del_seq", SEQ_COL)
@@ -213,6 +245,69 @@ class SnapshotStore:
         txn = self.transaction(rnd)
         txn.overwrite(name, current)
         txn.commit()
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        predicate: str,
+        rnd: int,
+    ) -> int:
+        """Row-level ``DELETE FROM <append table> WHERE predicate`` —
+        the takedown/redaction path (reference: DeleteBlock /
+        DeleteTransactionsByBlockHash, block_repository_impl.go:264-268,
+        transaction_repository_impl.go:345-356). Copy-on-write with
+        fragment pruning (Iceberg COW delete): ONE pass tags matching rows
+        with their source file, only fragments that actually contain
+        matches are rewritten; untouched fragments keep their files, and
+        every older manifest still references the pre-delete data (time
+        travel shows the pre-delete state). Returns rows deleted."""
+        t = self.manifest()["tables"][name]
+        assert t["type"] == "append", "MOR tables delete via upsert()"
+        if not t["fragments"]:
+            return 0
+        tagged = (
+            self._read_fragments(spark, t["fragments"], schema)
+            .where(predicate)
+            .select(F.input_file_name().alias("_file"))
+            .groupBy("_file")
+            .count()
+        ).collect()
+        if not tagged:
+            return 0
+        n_deleted = int(sum(r["count"] for r in tagged))
+        hit_files = [r["_file"] for r in tagged]
+
+        def _hit(frag: dict) -> bool:
+            marker = os.path.join(self.root, frag["dir"]).rstrip("/") + "/"
+            return any(marker in f for f in hit_files)
+
+        txn = self.transaction(rnd)
+        tt = txn.manifest["tables"][name]
+        kept: list[dict] = []
+        for frag in tt["fragments"]:
+            if not _hit(frag):
+                kept.append(frag)
+                continue
+            survivors = self._read_fragments(spark, [frag], schema).where(
+                f"NOT ({predicate})"
+            )
+            rel, absdir = self._new_dir(name, f"r{rnd}-cow")
+            writer = survivors.write.mode("overwrite")
+            if frag.get("partition_by"):
+                writer = writer.partitionBy(*frag["partition_by"])
+            writer.parquet(absdir)
+            kept.append(
+                {
+                    "dir": rel,
+                    "seq": frag["seq"],
+                    "partition_by": frag.get("partition_by", []),
+                }
+            )
+        tt["fragments"] = kept
+        txn.commit()
+        return n_deleted
 
     def _new_dir(self, name: str, tag: str) -> tuple[str, str]:
         rel = os.path.join("data", name, f"{tag}-{uuid.uuid4().hex[:12]}")
@@ -269,6 +364,18 @@ class Transaction:
         t = self.manifest["tables"][name]
         assert t["type"] == "mor"
         t["key"] = key
+        if not isinstance(delete_keys, DataFrame) and len(delete_keys) == 0:
+            # insert-only commit (e.g. streaming discovery batches): an
+            # empty delete fragment would still be broadcast-joined by
+            # every subsequent read until compaction — skip it entirely
+            rel_a, abs_a = self.store._new_dir(name, f"r{self.rnd}-add")
+            new_rows.withColumn(SEQ_COL, F.lit(self.rnd).cast("int")).write.mode(
+                "overwrite"
+            ).parquet(abs_a)
+            t["fragments"].append(
+                {"dir": rel_a, "seq": self.rnd, "partition_by": []}
+            )
+            return self
         rel_d, abs_d = self.store._new_dir(name, f"r{self.rnd}-del")
         if isinstance(delete_keys, DataFrame):
             delete_keys.select(
@@ -316,4 +423,7 @@ class Transaction:
     def commit(self) -> None:
         self.manifest["version"] = self.store.manifest()["version"] + 1
         self.manifest["round"] = self.rnd
+        self.manifest.setdefault("history", []).append(
+            [self.manifest["version"], self.rnd]
+        )
         self.store._write_manifest(self.manifest)

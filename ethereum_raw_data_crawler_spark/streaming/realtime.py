@@ -53,13 +53,12 @@ def run_streaming_ingest(
         rnd = engine.store.round + 1
         rows, _ = engine._discover(pushed, rnd, engine.seen())
         rows = rows.cache()
+        import pandas as pd
+
         txn = engine.store.transaction(rnd)
-        txn.upsert(
-            "frontier",
-            "url_canon",
-            rows,
-            rows.select("url_canon").limit(0).toPandas(),
-        )
+        # discovery-only commit: empty delete set (upsert writes no delete
+        # fragment for it, so reads never join an ever-growing empty list)
+        txn.upsert("frontier", "url_canon", rows, pd.DataFrame({"url_canon": []}))
         txn.append(
             "seen",
             rows.select(
