@@ -89,92 +89,17 @@ def _q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.read(spark, "metrics", METRICS).orderBy("round", "partition_id")
 
 
-def _q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization over the synthetic corpus (pandas UDF path)."""
-    from ethereum_raw_data_crawler_spark.functions.spark_udfs import (
-        canonicalize_udf,
-        url_hash_udf,
-    )
-    from ethereum_raw_data_crawler_spark.sources import synth
-
-    pages = spark.createDataFrame(synth.gen_pages(synth.T1)[["url"]])
-    return pages.select(
-        "url",
-        canonicalize_udf("url").alias("url_canon"),
-        url_hash_udf(canonicalize_udf("url")).alias("url_hash"),
-    ).orderBy("url")
-
-
-def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-identical text extraction: engine text vs the corpus's stored
-    expected text (match must be all-true)."""
-    from ethereum_raw_data_crawler_spark.functions.spark_udfs import extract_text_udf
-    from ethereum_raw_data_crawler_spark.sources import synth
-
-    pages = spark.createDataFrame(synth.gen_pages(synth.T1))
-    return pages.select(
-        "url",
-        (extract_text_udf("html") == F.col("text")).alias("text_matches"),
-    ).orderBy("url")
-
-
-def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over documents (exact-match oracle lives
-    in tests/test_dedup_similarity.py — signature functions are shared
-    with a pure-Python reference)."""
-    from ethereum_raw_data_crawler_spark.operators.dedup import minhash_lsh_pairs
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, threshold=0.2).orderBy("id_a", "id_b")
-
-
-def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ethereum_raw_data_crawler_spark.operators.dedup import (
-        simhash_fingerprints,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        simhash_fingerprints(docs)
-        .where("chunk_idx = 0")
-        .select("doc_id", "simhash")
-        .orderBy("doc_id")
-    )
-
-
-def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ethereum_raw_data_crawler_spark.operators.similarity import lsh_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    query = [
-        float(x)
-        for x in emb.where("vec_id = 0").select("embedding").first()["embedding"]
-    ]
-    return lsh_topk(emb, query, k=10, n_planes=4)
-
-
-def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ethereum_raw_data_crawler_spark.operators.similarity import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    query = [
-        float(x)
-        for x in emb.where("vec_id = 0").select("embedding").first()["embedding"]
-    ]
-    return ivf_topk(emb, query, k=10, n_probe=6)
-
-
-def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ethereum_raw_data_crawler_spark.functions.multimodal import (
-        extract_media_features,
-        gen_media,
-    )
-
-    media = spark.createDataFrame(gen_media(200))
-    return extract_media_features(media).orderBy("media_id")
+def _q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(round, component) health gauges (reference: system_health)."""
+    return _crawl_store(spark).health().orderBy("round", "component")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every registry query (all SQL-paired, incl. the pipeline variants
+    in queries_pipeline.py: canonicalize_urls, extract_text,
+    dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_ivf_topk,
+    media_features) plus the crawl-engine state reads, whose exact oracle
+    is the pytest suite (tests/test_engine_oracle_equivalence.py)."""
     from ethereum_raw_data_crawler_spark.queries import spark_queries
 
     out = dict(spark_queries())
@@ -184,13 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "crawl_seen": _q_crawl_seen,
             "crawl_frontier": _q_crawl_frontier,
             "crawl_metrics": _q_crawl_metrics,
-            "canonicalize_urls": _q_canonicalize,
-            "extract_text": _q_extract_text,
-            "dedup_minhash_lsh": _q_minhash_lsh,
-            "dedup_simhash": _q_simhash,
-            "ann_lsh_topk": _q_ann_lsh,
-            "ann_ivf_topk": _q_ann_ivf,
-            "media_features": _q_media_features,
+            "crawl_health": _q_crawl_health,
         }
     )
     return out

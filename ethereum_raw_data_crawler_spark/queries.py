@@ -956,9 +956,17 @@ def approx_distinct(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def _load_all() -> None:
+    """Trigger registration of the pipeline-variant queries (they live in
+    queries_pipeline.py and register into this module's REGISTRY)."""
+    import ethereum_raw_data_crawler_spark.queries_pipeline  # noqa: F401
+
+
 def spark_queries() -> dict:
+    _load_all()
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sqls() -> dict:
+    _load_all()
     return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
