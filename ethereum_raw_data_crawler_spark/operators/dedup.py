@@ -16,8 +16,10 @@ generalized from exact keys to near-duplicate content:
 Scale notes (10^10 docs): LSH banding turns the O(n^2) pair problem into
 per-bucket self-joins; bucket sizes are bounded by hash dispersion, and
 AQE skew-join splitting covers pathological buckets. Signatures are
-computed in one Arrow-batched mapInPandas pass (numpy-vectorized per
-document batch, no per-row Python UDF rows).
+computed in one Arrow-batched mapInPandas pass, vectorized at BATCH
+granularity: token/shingle hashing, segmented-min MinHash, band keys and
+simhash bit votes are all whole-batch numpy ops — the only per-document
+Python left is the token split.
 """
 
 from __future__ import annotations
@@ -31,29 +33,34 @@ from pyspark.sql import types as T
 
 from ethereum_raw_data_crawler_spark.functions.hashing import (
     band_keys,
+    band_keys_batch,
     hamming64,
-    minhash_signature,
-    simhash64,
-    token_hash64,
-    word_shingles,
+    minhash_signature_batch,
+    shingle_hashes_concat,
+    shingle_hashes_vec,
+    simhash64_batch,
+    token_hash64_vec,
 )
 
 # ---------------------------------------------------------------------------
-# pure per-document signature functions (shared with the pytest oracles)
+# pure per-document signature functions (shared with the pytest oracles —
+# thin single-document wrappers over the SAME vectorized batch primitives
+# the executors run, so oracle equality is structural)
 # ---------------------------------------------------------------------------
 
 
+def _doc_tokens(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t]
+
+
 def doc_minhash(text: str, k: int = 64) -> np.ndarray:
-    hashes = np.array(
-        [token_hash64(s) for s in word_shingles(text, 3)], dtype=np.uint64
-    )
-    return minhash_signature(hashes, k)
+    sh = shingle_hashes_vec(token_hash64_vec(_doc_tokens(text)), 3)
+    return minhash_signature_batch(sh, np.array([len(sh)]), k)[0]
 
 
 def doc_simhash(text: str) -> int:
-    toks = [t for t in text.split(" ") if t]
-    hashes = np.array([token_hash64(t) for t in toks], dtype=np.uint64)
-    return simhash64(hashes)
+    th = token_hash64_vec(_doc_tokens(text))
+    return int(simhash64_batch(th, np.array([len(th)]))[0])
 
 
 # ---------------------------------------------------------------------------
@@ -75,16 +82,30 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                sig = doc_minhash(text, k)
-                sig_signed = sig.view(np.int64).tolist()
-                for bi, bk in enumerate(band_keys(sig, bands)):
-                    rows.append((int(did), bi, bk, sig_signed))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=[id_col, "band_idx", "band_key", "sig"]
-                )
+            if not len(pdf):
+                continue
+            # whole-batch vectorization: ONE token-hash pass over the
+            # batch's concatenated tokens, global window folding for
+            # shingles, signatures via segmented mins, band keys as one
+            # matrix op — the only per-document Python is the token split
+            tok_lists = [_doc_tokens(t) for t in pdf[text_col]]
+            tok_counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            all_hashes = token_hash64_vec(
+                [w for toks in tok_lists for w in toks]
+            )
+            flat, counts = shingle_hashes_concat(all_hashes, tok_counts, 3)
+            sigs = minhash_signature_batch(flat, counts, k)  # (n, k)
+            keys = band_keys_batch(sigs, bands)  # (n, bands)
+            n = len(pdf)
+            sig_signed = sigs.view(np.int64).tolist()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), bands),
+                    "band_idx": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "band_key": keys.ravel(),
+                    "sig": [s for s in sig_signed for _ in range(bands)],
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(compute, out_schema)
 
@@ -179,15 +200,25 @@ def simhash_fingerprints(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                sh = doc_simhash(text)
-                for c in range(4):
-                    rows.append((int(did), sh, c, (sh >> (16 * c)) & 0xFFFF))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=[id_col, "simhash", "chunk_idx", "chunk_key"]
-                )
+            if not len(pdf):
+                continue
+            tok_lists = [_doc_tokens(t) for t in pdf[text_col]]
+            counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            flat = token_hash64_vec([w for toks in tok_lists for w in toks])
+            sh = simhash64_batch(flat, counts)  # (n,) int64
+            n = len(pdf)
+            chunk_idx = np.tile(np.arange(4, dtype=np.int32), n)
+            rep = np.repeat(sh, 4)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), 4),
+                    "simhash": rep,
+                    "chunk_idx": chunk_idx,
+                    "chunk_key": (
+                        (rep >> (16 * chunk_idx.astype(np.int64))) & 0xFFFF
+                    ).astype(np.int32),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(compute, out_schema)
 
