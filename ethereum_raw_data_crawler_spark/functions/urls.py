@@ -24,8 +24,7 @@ two paths is structural.
 
 from __future__ import annotations
 
-
-
+import re
 from urllib.parse import urlsplit
 
 _UNRESERVED = set(
@@ -119,10 +118,33 @@ def _is_tracking(key: str) -> bool:
     return k in TRACKING_EXACT or any(k.startswith(p) for p in TRACKING_PREFIXES)
 
 
+# Fast path: URLs that are ALREADY canonical by inspection — lowercase
+# scheme+host, no userinfo/port/query/fragment/percent-escape, path made of
+# pchar-set characters with no dot segments — pass through unchanged (plus
+# the empty-path -> "/" rule). Everything else takes the full slow path.
+# Pinned equal to the slow path by a property test
+# (tests/test_functions.py::test_canonical_fast_path_equivalence); this is
+# the hot branch of outlink discovery, where most links on real pages are
+# plain absolute URLs.
+_FAST_CANON = re.compile(
+    r"^(https?)://"
+    r"([a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?)"
+    r"(/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*)?$"
+)
+_DOT_SEG = re.compile(r"/\.{1,2}(?:/|$)")
+
+
 def canonicalize_url(url: str | None) -> str | None:
     """Canonical form of ``url``, or None if not a crawlable http(s) URL."""
     if url is None:
         return None
+    m = _FAST_CANON.match(url)
+    if m is not None:
+        path = m.group(3)
+        if path is None:
+            return url + "/"
+        if "/." not in path or not _DOT_SEG.search(path):
+            return url
     url = url.strip()
     if not url:
         return None

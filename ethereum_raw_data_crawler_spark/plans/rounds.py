@@ -266,8 +266,22 @@ class CrawlEngine:
         version of the reference's in-memory counters
         (crawler_service.go:910-921)."""
         cfg = self.cfg
+        import time as _time
+
+        _dbg = os.environ.get("SPARK_GRAFT_PHASE_DEBUG") == "1"
+
+        def _probe(name: str, frame: DataFrame) -> None:
+            if _dbg:
+                t0 = _time.monotonic()
+                n = frame.count()
+                print(
+                    f"  [probe] {name}: {n} rows, {int((_time.monotonic()-t0)*1000)} ms",
+                    flush=True,
+                )
+
         if "url_canon" not in candidates.columns:
             candidates = candidates.withColumn("url_canon", canonicalize_udf("url"))
+        _probe("candidates", candidates)
         grouped = (
             candidates.where(F.col("url_canon").isNotNull())
             .groupBy("url_canon")
@@ -282,6 +296,7 @@ class CrawlEngine:
                 "dups",
             )
         )
+        _probe("grouped", grouped)
         robots = self._dim("robots", ROBOTS)
         gated = (
             with_host_and_path(grouped)
@@ -323,9 +338,11 @@ class CrawlEngine:
             flagged = candidates_for_seen.join(
                 seen_keys, "url_hash", "left"
             ).withColumn("seen_hit", F.coalesce(F.col("seen_hit"), F.lit(False)))
+        _probe("gated", gated)
         annotated = flagged.unionByName(
             skipped_rows.withColumn("seen_hit", F.lit(False))
         ).cache()
+        _probe("annotated", annotated)
 
         stats_row = annotated.agg(
             F.coalesce(F.sum("dups"), F.lit(0)).alias("n_valid"),
@@ -572,12 +589,58 @@ class CrawlEngine:
             assign_global_seq,
         )
 
-        fetched_seq = assign_global_seq(
-            fetched, ["pop_seq"], "seq", approx_count=n_fetched, scratch=self._scratch
-        )
+        # fetch_seq = dense rank of pop_seq among fetched rows. Assigning it
+        # with the generic two-pass range sort would shuffle every html
+        # payload twice; instead collect ONE slim int64 column (bounded by
+        # cfg.batch_size — the pop is size-capped by construction, same
+        # bounded-driver trade as the delete-keys path) and rank map-side
+        # via searchsorted. html never moves. Above the bound, fall back to
+        # the fully distributed assignment.
+        if n_fetched and n_fetched <= 20_000_000:
+            import numpy as np
+
+            seqs = np.sort(
+                np.array(
+                    [r["pop_seq"] for r in fetched.select("pop_seq").collect()],
+                    dtype=np.int64,
+                )
+            )
+            bc_seqs = self.spark.sparkContext.broadcast(seqs)
+            seq_schema = T.StructType(
+                list(fetched.schema.fields)
+                + [T.StructField("seq", T.LongType(), False)]
+            )
+
+            def rank(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    yield pdf.assign(
+                        seq=np.searchsorted(
+                            bc_seqs.value, pdf["pop_seq"].to_numpy()
+                        ).astype("int64")
+                    )
+
+            fetched_seq = fetched.mapInPandas(rank, seq_schema)
+        else:
+            fetched_seq = assign_global_seq(
+                fetched,
+                ["pop_seq"],
+                "seq",
+                approx_count=n_fetched if n_fetched <= 200_000 else None,
+                scratch=self._scratch,
+            )
         extracted = fetched_seq.withColumn(
             "ext", extract_page_udf("html", "url_canon")
         ).cache()
+        if os.environ.get("SPARK_GRAFT_PHASE_DEBUG") == "1":
+            t_x = time.monotonic()
+            n_x = extracted.count()
+            print(
+                f"  [probe] extract(parse+cache): {n_x} rows, "
+                f"{int((time.monotonic()-t_x)*1000)} ms",
+                flush=True,
+            )
         pages_out = extracted.select(
             F.col("url_canon").alias("url"),
             "warc_ts",

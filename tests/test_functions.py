@@ -115,3 +115,65 @@ def test_extract_links_resolves_relative():
         "https://host1.example/p/3",
         "https://other.example/q",
     ]
+
+
+# ---------------------------------------------------------------------------
+# fast-path pins: the canonicalizer's already-canonical shortcut and the
+# extractor's urljoin skip must be exactly equivalent to the slow paths
+# ---------------------------------------------------------------------------
+
+def _slow_canonicalize(url):
+    """The full (pre-fast-path) canonicalization pipeline, inlined here as
+    the behavioral reference."""
+    import ethereum_raw_data_crawler_spark.functions.urls as U
+
+    m = U._FAST_CANON
+    try:
+        U._FAST_CANON = type("never", (), {"match": staticmethod(lambda s: None)})
+        return U.canonicalize_url(url)
+    finally:
+        U._FAST_CANON = m
+
+
+_URL_ALPHABET = list("abcZ019-._~!$&'()*+,;=:@/%2F?#uthp:")
+
+
+@given(st.text(alphabet=_URL_ALPHABET, max_size=40))
+def test_canonical_fast_path_equivalence(tail):
+    for prefix in ("https://host1.example", "http://Host2.EXAMPLE:80", "https://h"):
+        u = prefix + tail
+        assert canonicalize_url(u) == _slow_canonicalize(u), u
+
+
+def test_canonical_fast_path_equivalence_fixture():
+    from ethereum_raw_data_crawler_spark.sources import synth
+
+    pages = synth.gen_pages(synth.T1)
+    for u in pages["url"]:
+        assert canonicalize_url(u) == _slow_canonicalize(u)
+    for variant in (
+        "https://h.example/a/../b", "https://h.example/.hidden/x",
+        "https://h.example/a/./b", "https://h.example/a/..", "https://h.example/.",
+        "https://h.example", "https://h.example/p?a=1", "https://h.example/p%41",
+        "https://h.example./p", "https://h-.example/p", "https://h.example/a//b",
+    ):
+        assert canonicalize_url(variant) == _slow_canonicalize(variant), variant
+
+
+@given(st.text(alphabet=_URL_ALPHABET, max_size=30))
+def test_absolute_href_urljoin_skip_equivalence(tail):
+    """canonicalize(urljoin(base, href)) == canonicalize(href) for
+    absolute http(s) hrefs — the premise of extract_page's skip."""
+    from urllib.parse import urljoin
+
+    for scheme in ("http://", "https://"):
+        href = scheme + tail
+        from ethereum_raw_data_crawler_spark.functions.extract import _ABS_HTTP
+        if not _ABS_HTTP.match(href):
+            continue
+        for base in ("https://base.example/dir/page", "http://b.example/"):
+            try:
+                joined = urljoin(base, href)
+            except ValueError:
+                continue
+            assert canonicalize_url(joined) == canonicalize_url(href), (base, href)
