@@ -171,21 +171,22 @@ def assign_global_seq(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        list(with_pid.schema.fields) + [T.StructField(seq_col, T.LongType(), False)]
-    )
-
-    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.copy()
-            pdf[seq_col] = range(base + local, base + local + len(pdf))
-            local += len(pdf)
-            yield pdf
-
-    return with_pid.mapInPandas(number, schema).drop("_pid")
+    # JVM-side numbering, no Arrow roundtrip of the full rows: on the
+    # cached sorted partitioning, monotonically_increasing_id() encodes
+    # (partition_id << 33) | local_row_index with the local index running
+    # in partition iteration order — i.e. the sorted order — so
+    # seq = offset[pid] + (mono mod 2^33), all inside codegen.
+    if offsets:
+        offset_map = F.create_map(
+            *[
+                F.lit(x)
+                for pid in offsets
+                for x in (int(pid), int(offsets[pid]))
+            ]
+        )
+        seq_expr = F.element_at(offset_map, F.spark_partition_id()) + F.pmod(
+            F.monotonically_increasing_id(), F.lit(1 << 33)
+        )
+    else:
+        seq_expr = F.lit(0).cast("long")
+    return with_pid.withColumn(seq_col, seq_expr.cast("long")).drop("_pid")

@@ -95,6 +95,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         prune_pop: bool = True,
         compact_every: int = 8,
+        egress_dir: str | None = None,
     ) -> None:
         from ethereum_raw_data_crawler_spark.deploy import ship_package
 
@@ -109,6 +110,11 @@ class CrawlEngine:
         self._bloom: BloomFilter | None = None
         self._dims: dict[str, DataFrame] = {}
         self._scratch: list[DataFrame] = []
+        self._egress = None
+        if egress_dir:
+            from ethereum_raw_data_crawler_spark.sources.egress import EgressWriter
+
+            self._egress = EgressWriter(egress_dir)
 
     # ------------------------------------------------------------------ setup
     @classmethod
@@ -137,6 +143,7 @@ class CrawlEngine:
                     "use_bloom": eng.use_bloom,
                     "prune_pop": eng.prune_pop,
                     "compact_every": eng.compact_every,
+                    "egress_dir": kw.get("egress_dir"),
                 },
                 fh,
             )
@@ -196,7 +203,12 @@ class CrawlEngine:
             use_bloom=saved["use_bloom"],
             prune_pop=saved["prune_pop"],
             compact_every=saved["compact_every"],
+            egress_dir=saved.get("egress_dir"),
         )
+        if eng._egress is not None:
+            # publish-after-commit redelivery: any round committed before
+            # the crash but never published goes out now (at-least-once)
+            eng._egress.catch_up(spark, eng.store)
         bloom_path = os.path.join(store_root, f"bloom-{eng.store.round}.npz")
         if eng.use_bloom:
             if os.path.exists(bloom_path):
@@ -600,10 +612,9 @@ class CrawlEngine:
             import numpy as np
 
             seqs = np.sort(
-                np.array(
-                    [r["pop_seq"] for r in fetched.select("pop_seq").collect()],
-                    dtype=np.int64,
-                )
+                fetched.select("pop_seq")
+                .toPandas()["pop_seq"]  # Arrow path: one slim int64 column
+                .to_numpy(dtype=np.int64)
             )
             bc_seqs = self.spark.sparkContext.broadcast(seqs)
             seq_schema = T.StructType(
@@ -777,6 +788,10 @@ class CrawlEngine:
         )
         txn.commit()
         self._bloom_add_from_seen_fragment(rnd)
+        if self._egress is not None:
+            # strictly after the manifest swap (publish-after-save,
+            # crawler_service.go:592-607): reads the COMMITTED snapshot
+            self._egress.emit_round(self.spark, self.store, rnd)
         tick("commit")
 
         if self.compact_every and rnd % self.compact_every == 0:
