@@ -45,6 +45,13 @@ _ATTR = re.compile(r"([a-zA-Z-]+)=\"([^\"]*)\"")
 
 _ABS_HTTP = re.compile(r"^https?://[^/?#]")
 
+# Bench knob: force the HTMLParser reference path (identical output, more
+# CPU per row) — used by the scaling evidence to show the dataflow scales
+# when per-row compute dominates vs. when the box's DRAM bandwidth binds.
+import os as _os
+
+_REFERENCE_PARSER = _os.environ.get("SPARK_GRAFT_REFERENCE_PARSER") == "1"
+
 
 def _fast_parse(text: str):
     """(chunks, links) for simple HTML, or None to fall back."""
@@ -140,9 +147,10 @@ def _parse(html: bytes | str | None) -> _Parsed:
         text = bytes(html).decode("utf-8", errors="replace")
     else:
         text = html
-    fast = _fast_parse(text)
-    if fast is not None:
-        return _Parsed(*fast)
+    if not _REFERENCE_PARSER:
+        fast = _fast_parse(text)
+        if fast is not None:
+            return _Parsed(*fast)
     parser = _TextAndLinks()
     try:
         parser.feed(text)

@@ -166,3 +166,15 @@ def test_bloom_no_false_negatives():
     assert bf.contains_many(keys[:2500]).all()  # no false negatives, ever
     fpr = bf.contains_many(keys[2500:]).mean()
     assert fpr < 0.05, fpr
+
+
+def test_every_registry_query_avoids_row_python(spark):
+    """Plan hygiene across the ENTIRE driver query surface (incl. the
+    round-2 pipeline variants): no row-at-a-time Python anywhere — only
+    Arrow-vectorized exchanges (ArrowEvalPython / mapInPandas)."""
+    from ethereum_raw_data_crawler_spark.queries import spark_queries
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in spark_queries().items():
+        plan = _plan(fn(spark, sf))
+        assert "BatchEvalPython" not in plan, name
