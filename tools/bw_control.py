@@ -1,13 +1,10 @@
-"""Memory-bandwidth control for the scaling evidence: aggregate copy
-throughput of K concurrent processes each streaming a large numpy buffer.
-On one box, DRAM bandwidth is shared — this control shows how much
-headroom 8 -> 32 workers actually has for memory-bound work, which is
-what the optimized crawl round has become (the Python-CPU stages that
-used to dominate are gone). A real 4N-node cluster multiplies bandwidth
-with nodes; this box does not.
+"""Memory-bandwidth control for the scaling evidence: aggregate streaming
+copy throughput of K concurrent processes, start-synchronized by a
+barrier and measured over a fixed work quota each. On one box, DRAM
+bandwidth is shared; a real 4N-node cluster multiplies it with nodes.
 
-Usage: python tools/bw_control.py <procs> [mb_per_proc]
-Prints one JSON line {"procs": K, "gb_per_sec": X}.
+Usage: python tools/bw_control.py <procs> [mb_per_proc] [reps]
+Prints one JSON line {"procs": K, "agg_gb_per_sec": X, ...}.
 """
 
 from __future__ import annotations
@@ -18,38 +15,43 @@ import sys
 import time
 
 
-def _worker(mb: int, out) -> None:
+def _worker(mb: int, reps: int, barrier, out) -> None:
     import numpy as np
 
     a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
     b = np.empty_like(a)
+    np.copyto(b, a)  # warm / fault pages
+    barrier.wait()
     t0 = time.monotonic()
-    reps = 8
     for _ in range(reps):
         np.copyto(b, a)
     dt = time.monotonic() - t0
-    out.put(reps * 2 * a.nbytes / dt)  # read + write bytes per second
+    out.put((reps * 2 * a.nbytes, dt))
 
 
 def main() -> None:
     procs = int(sys.argv[1])
-    mb = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    mb = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     q: mp.Queue = mp.Queue()
-    ps = [mp.Process(target=_worker, args=(mb, q)) for _ in range(procs)]
-    t0 = time.monotonic()
+    barrier = mp.Barrier(procs)
+    ps = [
+        mp.Process(target=_worker, args=(mb, reps, barrier, q))
+        for _ in range(procs)
+    ]
     for p in ps:
         p.start()
-    rates = [q.get() for _ in ps]
+    res = [q.get() for _ in ps]
     for p in ps:
         p.join()
-    wall = time.monotonic() - t0
-    total_bytes = procs * 8 * 2 * mb * 1024 * 1024
+    total_bytes = sum(r[0] for r in res)
+    max_dt = max(r[1] for r in res)  # all start together; slowest defines wall
     print(
         json.dumps(
             {
                 "procs": procs,
-                "gb_per_sec": round(total_bytes / wall / 1e9, 1),
-                "per_proc_gb_per_sec": round(sum(rates) / len(rates) / 1e9, 2),
+                "agg_gb_per_sec": round(total_bytes / max_dt / 1e9, 2),
+                "slowest_proc_sec": round(max_dt, 2),
             }
         )
     )
