@@ -10,6 +10,10 @@ cmd/schedulers/main.go: config -> connect -> resume -> scheduler loop).
 
   python -m ethereum_raw_data_crawler_spark status --store /data/crawlstore
 
+  python -m ethereum_raw_data_crawler_spark delete --store DIR --where "url = '...'"
+
+  python -m ethereum_raw_data_crawler_spark health --store DIR [--last N]
+
 On a cluster, the same module runs under
 ``spark-submit --py-files pkg.zip -m``-style invocation; nothing here is
 local-mode specific except the default session factory.
@@ -55,7 +59,8 @@ def cmd_crawl(args) -> int:
         politeness = spark.createDataFrame([], POLITENESS)
     cfg = CrawlConfig(batch_size=args.batch_size, default_budget=args.default_budget)
     eng = CrawlEngine.create(
-        spark, args.store, pages, seeds, robots, politeness, None, cfg
+        spark, args.store, pages, seeds, robots, politeness, None, cfg,
+        egress_dir=args.egress_dir,
     )
     stats = eng.run(max_rounds=args.rounds)
     for s in stats:
@@ -109,6 +114,34 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Takedown/redaction (reference: DeleteBlock,
+    block_repository_impl.go:264-268): row-level DELETE on pages_out."""
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+
+    spark = _spark(args)
+    eng = CrawlEngine.resume(spark, args.store)
+    n = eng.delete_pages(args.where)
+    print(json.dumps({"deleted": n, "where": args.where}))
+    return 0
+
+
+def cmd_health(args) -> int:
+    """Component-health rows (reference: system_health collection)."""
+    from pyspark.sql import functions as F
+
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+
+    spark = _spark(args)
+    eng = CrawlEngine.resume(spark, args.store)
+    h = eng.health()
+    if args.last:
+        h = h.where(F.col("round") > eng.store.round - args.last)
+    for r in h.orderBy("round", "component").collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ethereum_raw_data_crawler_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -123,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--rounds", type=int, default=None)
     c.add_argument("--batch-size", type=int, default=100)
     c.add_argument("--default-budget", type=int, default=5)
+    c.add_argument("--egress-dir", default=None,
+                   help="publish per-page events here after each commit")
     c.set_defaults(fn=cmd_crawl)
 
     r = sub.add_parser("resume", help="resume from the last snapshot")
@@ -133,6 +168,16 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status", help="store state summary")
     s.add_argument("--store", required=True)
     s.set_defaults(fn=cmd_status)
+
+    d = sub.add_parser("delete", help="row-level DELETE on pages (takedown)")
+    d.add_argument("--store", required=True)
+    d.add_argument("--where", required=True, help="SQL predicate over pages_out")
+    d.set_defaults(fn=cmd_delete)
+
+    h = sub.add_parser("health", help="per-(round, component) health gauges")
+    h.add_argument("--store", required=True)
+    h.add_argument("--last", type=int, default=None)
+    h.set_defaults(fn=cmd_health)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -58,3 +58,42 @@ def test_cli_crawl_without_dims_defaults(spark, tmp_path, capsys):
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[0])
     assert line["fetched"] > 0
+
+
+def test_cli_delete_health_egress(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    synth.write_corpus(corpus, synth.T1)
+    store = str(tmp_path / "store3")
+    egress = str(tmp_path / "egress3")
+    rc = main(
+        [
+            "crawl",
+            "--store", store,
+            "--pages", os.path.join(corpus, "pages.parquet"),
+            "--seeds", os.path.join(corpus, "seeds.parquet"),
+            "--rounds", "1",
+            "--egress-dir", egress,
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert os.path.exists(os.path.join(egress, "_round-1.done"))
+
+    rc = main(["health", "--store", store])
+    assert rc == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["component"] for r in rows} == {"store", "bloom", "fetch", "scheduler"}
+
+    # takedown one fetched page by exact url
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+    from ethereum_raw_data_crawler_spark.schemas import PAGES_OUT
+
+    eng = CrawlEngine.resume(spark, store)
+    victim = eng.store.read(spark, "pages_out", PAGES_OUT).first()["url"]
+    rc = main(["delete", "--store", store, "--where", f"url = '{victim}'"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted"] == 1
+    eng2 = CrawlEngine.resume(spark, store)
+    urls = {r["url"] for r in eng2.store.read(spark, "pages_out", PAGES_OUT).collect()}
+    assert victim not in urls
