@@ -92,11 +92,14 @@ class EgressWriter:
             os.path.join(self.egress_dir, "round-*")
         )
 
-    def read_stream(self, spark: SparkSession) -> DataFrame:
+    def read_stream(
+        self, spark: SparkSession, max_files_per_trigger: int | None = None
+    ) -> DataFrame:
         """Structured Streaming tail of the event stream (the downstream
         consumer's entry point — the NATS subscription analogue)."""
-        return (
-            spark.readStream.schema(EVENT)
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(os.path.join(self.egress_dir, "round-*"))
+        reader = spark.readStream.schema(EVENT).option(
+            "pathGlobFilter", "*.parquet"
         )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader.parquet(os.path.join(self.egress_dir, "round-*"))
