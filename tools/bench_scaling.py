@@ -34,7 +34,12 @@ def main() -> None:
     from ethereum_raw_data_crawler_spark.session import get_spark
 
     giant = os.environ.get("SPARK_GRAFT_GIANT", "0") == "1"
-    spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"scaling-{cores}")
+    # shuffle width: a small multiple of cores smooths straggler tails
+    # (same rule at every parallelism level, so the comparison is fair)
+    mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1"))
+    spark = get_spark(
+        cores=cores, shuffle_partitions=cores * mult, app_name=f"scaling-{cores}"
+    )
     corpus_dir = _bench_corpus_dir(scale)
     pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
     robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
