@@ -23,7 +23,11 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # 3x cores smooths straggler tails on wide stages (measured: every
+        # parallelism level of the 5M-round bench gained ~20-45% over
+        # width == cores; AQE coalescing absorbs the extra partitions on
+        # small stages)
+        shuffle_partitions = max(3 * cores, 24)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
