@@ -287,3 +287,33 @@ def test_upsert_skips_empty_delete_fragment(spark, tmp_path):
     txn.commit()
     assert store.manifest()["tables"]["t"]["deletes"] == []
     assert {r["k"] for r in store.read(spark, "t", SCHEMA).collect()} == {"a"}
+
+
+# ---------------------------------------------- JVM-side dense numbering
+
+
+def test_assign_global_seq_large_path_is_dense_and_ordered(spark):
+    """The distributed (repartitionByRange + offsets +
+    monotonically_increasing_id) numbering must produce exactly
+    0..n-1 in the requested order — including empty and skewed
+    partitions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ethereum_raw_data_crawler_spark.operators.priority_pop import (
+        assign_global_seq,
+    )
+
+    n = 10_000
+    pdf = pd.DataFrame(
+        {
+            "k": [(i * 2654435761) % n for i in range(n)],  # shuffled keys
+            "v": [f"v{i}" for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    out = assign_global_seq(df, ["k"], "seq", n_partitions=5).collect()
+    got = sorted((r["k"], r["seq"]) for r in out)
+    assert [s for _, s in got] == list(range(n))
+    # order binding: seq follows k exactly
+    assert got == [(k, i) for i, k in enumerate(sorted(pdf["k"]))]
