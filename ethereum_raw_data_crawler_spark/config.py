@@ -38,6 +38,9 @@ class CrawlConfig:
     max_retries: int = 3            # failures before a skip window
     skip_rounds: int = 2            # rounds to skip after max_retries failures
     hard_fail_retries: int = 9      # retry_count at which a URL is failed forever
+    rate_limit_skip_cap: int = 16   # cap on the quadratic rate-limit skip
+                                    # (reference caps rate-limit backoff at 30 s,
+                                    # ethereum_service.go:594-624)
     priority_cap: int = 3           # max priority (depth) admitted to frontier
     default_budget: int = 5         # per-(host, round) budget when host absent
     round_interval_s: int = 3600    # logical seconds between round starts

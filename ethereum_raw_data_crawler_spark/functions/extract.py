@@ -43,6 +43,19 @@ _SIMPLE_TAG = re.compile(
 )
 _ATTR = re.compile(r"([a-zA-Z-]+)=\"([^\"]*)\"")
 
+# HTMLParser switches to CDATA mode inside <script>/<style> (its
+# CDATA_CONTENT_ELEMENTS): everything until the matching '</name' is raw
+# data — a nested same-name open tag does NOT nest. The fast path mirrors
+# that with a raw scan; anything trickier than a clean '</name\s*>' close
+# falls back to HTMLParser.
+_CDATA_CLOSE = {
+    name: (
+        re.compile(r"</\s*" + name, re.I),
+        re.compile(r"</\s*" + name + r"\s*>", re.I),
+    )
+    for name in ("script", "style")
+}
+
 _ABS_HTTP = re.compile(r"^https?://[^/?#]")
 
 # Bench knob: force the HTMLParser reference path (identical output, more
@@ -77,15 +90,27 @@ def _fast_parse(text: str):
                     skip -= 1
             else:
                 name = m.group("name").lower()
-                if name in _SKIP_CONTENT:
-                    skip += 1
-                elif name == "a" and skip == 0:
+                # HTMLParser fires handle_starttag for an <a> even inside
+                # a skipped noscript/template subtree, so links are
+                # collected regardless of skip depth (only script/style
+                # CDATA suppresses tag events — handled below)
+                if name == "a":
                     for am in _ATTR.finditer(m.group("attrs")):
                         if am.group(1).lower() == "href" and am.group(2):
                             links.append(am.group(2))
-                if m.group("slash"):  # <x/> -> starttag + endtag
-                    if name in _SKIP_CONTENT and skip > 0:
-                        skip -= 1
+                if name in _CDATA_CLOSE and not m.group("slash"):
+                    find_re, close_re = _CDATA_CLOSE[name]
+                    cm = find_re.search(text, m.end())
+                    if cm is None:
+                        break  # CDATA runs to EOF; all of it is dropped data
+                    em = close_re.match(text, cm.start())
+                    if em is None:
+                        return None  # '</scriptfoo>'-style — fall back
+                    pos = em.end()
+                    continue
+                if name in _SKIP_CONTENT and not m.group("slash"):
+                    skip += 1
+                # <x/> in the skip set: starttag + endtag cancel out
             pos = m.end()
             continue
         nxt = text[lt + 1] if lt + 1 < n else ""

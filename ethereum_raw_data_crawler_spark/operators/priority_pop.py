@@ -176,6 +176,17 @@ def assign_global_seq(
     # (partition_id << 33) | local_row_index with the local index running
     # in partition iteration order — i.e. the sorted order — so
     # seq = offset[pid] + (mono mod 2^33), all inside codegen.
+    #
+    # The baked offsets are only valid while ``ordered`` keeps the exact
+    # partitioning the counting pass observed. mono encodes ≤2^33 rows per
+    # partition (guarded below), and an eval-time check fails loudly —
+    # instead of silently duplicating/skipping seq values — if the cache
+    # was evicted and repartitionByRange resampled different boundaries:
+    # a local row index at or past the counted partition size, or a pid
+    # absent from the map, can only mean the partitioning changed.
+    assert not counts or max(counts.values()) < (1 << 33), (
+        "assign_global_seq: a partition exceeds 2^33 rows; raise n_partitions"
+    )
     if offsets:
         offset_map = F.create_map(
             *[
@@ -184,8 +195,27 @@ def assign_global_seq(
                 for x in (int(pid), int(offsets[pid]))
             ]
         )
-        seq_expr = F.element_at(offset_map, F.spark_partition_id()) + F.pmod(
-            F.monotonically_increasing_id(), F.lit(1 << 33)
+        count_map = F.create_map(
+            *[
+                F.lit(x)
+                for pid in counts
+                for x in (int(pid), int(counts[pid]))
+            ]
+        )
+        local_idx = F.pmod(F.monotonically_increasing_id(), F.lit(1 << 33))
+        expected = F.element_at(count_map, F.spark_partition_id())
+        guard = F.when(
+            expected.isNull() | (local_idx >= expected),
+            F.raise_error(
+                F.lit(
+                    "assign_global_seq: partitioning changed between the "
+                    "counting and numbering passes (cache evicted / scratch "
+                    "unpersisted before the output was consumed)"
+                )
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        seq_expr = (
+            F.element_at(offset_map, F.spark_partition_id()) + local_idx + guard
         )
     else:
         seq_expr = F.lit(0).cast("long")

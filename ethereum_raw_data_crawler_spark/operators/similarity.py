@@ -190,6 +190,160 @@ def ivf_topk(
     )
 
 
+class AnnIndex:
+    """ANN index AT REST: tag once, partition by the tag, prune per query.
+
+    The inline helpers above (``lsh_topk`` / ``ivf_topk``) re-tag the
+    whole corpus per query — fine for a one-off, wrong as the serving
+    path at 10^10 vectors. This class is the scale path their docstrings
+    promise: ``build_lsh``/``build_ivf`` run the tagging job ONCE and
+    write the corpus hive-partitioned by the tag (``bucket=<b>/`` /
+    ``list_id=<l>/`` directories), with the tiny model state (hyperplanes
+    or centroids) saved beside the data. ``topk`` computes the probe set
+    driver-side from that state (a numpy op over ≤ KBs) and issues a
+    partition-pruned read — Catalyst prunes to the probed directories at
+    planning time, so a query scans ~n_probe/n_lists of the data — then
+    exact-cosine reranks only those candidates.
+
+    Same probe logic and seeds as the inline helpers, so results are
+    bit-identical to ``lsh_topk``/``ivf_topk`` on the same input
+    (asserted in tests/test_ann_index.py, alongside the plan assertion
+    that the scan touches only probed partitions)."""
+
+    def __init__(self, root: str) -> None:
+        import json
+        import os
+
+        self.root = root
+        with open(os.path.join(root, "meta.json")) as fh:
+            self.meta = json.load(fh)
+        self.model = np.load(os.path.join(root, "model.npy"))
+
+    # ---- build (once per corpus version) --------------------------------
+    @classmethod
+    def build_lsh(
+        cls,
+        embeddings: DataFrame,
+        root: str,
+        dim: int,
+        n_planes: int = 12,
+        seed: int = 7,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "AnnIndex":
+        import json
+        import os
+
+        planes = hyperplanes(dim, n_planes, seed)
+        tagged = with_lsh_bucket(embeddings, planes, id_col, vec_col)
+        tagged.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(root, "data")
+        )
+        np.save(os.path.join(root, "model.npy"), planes)
+        with open(os.path.join(root, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "kind": "lsh",
+                    "n_planes": n_planes,
+                    "tag_col": "bucket",
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                },
+                fh,
+            )
+        return cls(root)
+
+    @classmethod
+    def build_ivf(
+        cls,
+        embeddings: DataFrame,
+        root: str,
+        n_lists: int = 16,
+        sample: int = 2000,
+        seed: int = 13,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "AnnIndex":
+        import json
+        import os
+
+        # deterministic quantizer sample: ordered prefix (same rule as
+        # ivf_topk, so the two paths assign identical list ids)
+        pdf_sample = (
+            embeddings.orderBy(id_col).select(vec_col).limit(sample).toPandas()
+        )
+        train = np.stack(pdf_sample[vec_col].to_numpy()).astype(np.float64)
+        cents = kmeans_centroids(train, k=n_lists, seed=seed)
+
+        spark = embeddings.sparkSession
+        bc = spark.sparkContext.broadcast(cents)
+        schema = T.StructType(
+            list(embeddings.schema.fields)
+            + [T.StructField("list_id", T.IntegerType(), False)]
+        )
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = ((vecs[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+                yield pdf.assign(list_id=d.argmin(axis=1).astype(np.int32))
+
+        embeddings.mapInPandas(assign, schema).write.mode(
+            "overwrite"
+        ).partitionBy("list_id").parquet(os.path.join(root, "data"))
+        np.save(os.path.join(root, "model.npy"), cents)
+        with open(os.path.join(root, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "kind": "ivf",
+                    "n_lists": n_lists,
+                    "tag_col": "list_id",
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                },
+                fh,
+            )
+        return cls(root)
+
+    # ---- query (partition-pruned read + exact rerank) -------------------
+    def probes(self, query_vec: list[float], n_probe: int = 4) -> list[int]:
+        q = np.asarray(query_vec, dtype=np.float64)
+        if self.meta["kind"] == "lsh":
+            qb = int(_bucket_of(q[None, :], self.model)[0])
+            return [qb] + [qb ^ (1 << i) for i in range(self.meta["n_planes"])]
+        d = ((self.model - q[None, :]) ** 2).sum(axis=1)
+        return [int(p) for p in d.argsort()[:n_probe]]
+
+    def candidates(self, spark, query_vec: list[float], n_probe: int = 4) -> DataFrame:
+        """The partition-pruned candidate scan (exposed for plan tests)."""
+        import os
+
+        tag = self.meta["tag_col"]
+        df = spark.read.parquet(os.path.join(self.root, "data"))
+        # NO cast on the partition column: Catalyst prunes partitions on
+        # the raw attribute; literals coerce to the inferred column type
+        return df.where(
+            F.col(tag).isin([int(p) for p in self.probes(query_vec, n_probe)])
+        )
+
+    def topk(
+        self, spark, query_vec: list[float], k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        cand = self.candidates(spark, query_vec, n_probe)
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            cand.select(
+                id_col,
+                F.round(cosine_col(F.col(vec_col), qcol), 5).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), id_col)
+            .limit(k)
+        )
+
+
 def lsh_topk_oracle(
     pdf: pd.DataFrame,
     query_vec: list[float],

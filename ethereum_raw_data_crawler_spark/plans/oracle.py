@@ -106,9 +106,13 @@ class OracleScheduler:
             for r in politeness.itertuples(index=False)
         }
         self.failures: dict[str, set[int]] = {}
+        self.failure_class: dict[str, str] = {}
         if fetch_failures is not None:
             for r in fetch_failures.itertuples(index=False):
                 self.failures[r.url_canon] = set(int(a) for a in r.fail_attempts)
+                cls = getattr(r, "error_class", None)
+                if isinstance(cls, str):
+                    self.failure_class[r.url_canon] = cls
         self.res = OracleResult()
         self._seeds = seeds
 
@@ -205,8 +209,20 @@ class OracleScheduler:
                 errors += 1
                 r.retry_count += 1
                 r.round = rnd
-                if r.retry_count >= cfg.hard_fail_retries:
+                # class-specific backoff, mirroring the engine exactly
+                # (reference: ethereum_service.go:100-124,594-624); a miss
+                # (URL absent from the corpus) has no class -> default
+                cls = (
+                    self.failure_class.get(r.url_canon)
+                    if (fail and hit is not None)
+                    else None
+                )
+                if cls == "non_retryable" or r.retry_count >= cfg.hard_fail_retries:
                     r.status = STATUS_FAILED
+                elif cls == "rate_limit":
+                    r.skip_until = rnd + min(
+                        r.retry_count * r.retry_count, cfg.rate_limit_skip_cap
+                    )
                 elif r.retry_count >= cfg.max_retries:
                     r.skip_until = rnd + cfg.skip_rounds
                 continue

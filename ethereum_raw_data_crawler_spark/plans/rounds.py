@@ -44,7 +44,10 @@ from ethereum_raw_data_crawler_spark.functions.spark_udfs import (
     extract_page_udf,
     with_host_and_path,
 )
-from ethereum_raw_data_crawler_spark.operators.bloom import BloomFilter, split_by_bloom
+from ethereum_raw_data_crawler_spark.operators.bloom import (
+    PartitionedBloom,
+    split_by_bloom,
+)
 from ethereum_raw_data_crawler_spark.operators.priority_pop import pop_batch
 from ethereum_raw_data_crawler_spark.schemas import (
     FETCH_FAILURES,
@@ -96,6 +99,7 @@ class CrawlEngine:
         prune_pop: bool = True,
         compact_every: int = 8,
         egress_dir: str | None = None,
+        bloom_buckets: int = 64,
     ) -> None:
         from ethereum_raw_data_crawler_spark.deploy import ship_package
 
@@ -107,7 +111,13 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.prune_pop = prune_pop
         self.compact_every = compact_every
-        self._bloom: BloomFilter | None = None
+        self.bloom_buckets = bloom_buckets
+        # health-ACTED threshold: compact as soon as the frontier's
+        # accumulated delete set would stop broadcasting (the point where
+        # every subsequent MOR read pays a shuffle join), instead of only
+        # on the blind rnd % compact_every schedule
+        self.compact_delete_rows: int = SnapshotStore.BROADCAST_DELETE_MAX
+        self._bloom: PartitionedBloom | None = None
         self._dims: dict[str, DataFrame] = {}
         self._scratch: list[DataFrame] = []
         self._egress = None
@@ -144,10 +154,14 @@ class CrawlEngine:
                     "prune_pop": eng.prune_pop,
                     "compact_every": eng.compact_every,
                     "egress_dir": kw.get("egress_dir"),
+                    "bloom_buckets": eng.bloom_buckets,
                 },
                 fh,
             )
-        eng._bloom = BloomFilter()
+        if eng.use_bloom:
+            eng._bloom = PartitionedBloom.create(
+                store_root, n_buckets=eng.bloom_buckets
+            )
         txn = eng.store.transaction(-1)
         # canonicalize the corpus ONCE; bucket by url_hash for fetch-time
         # partition pruning (the "fetch" of a batch reads only the buckets
@@ -179,7 +193,13 @@ class CrawlEngine:
         txn.append(
             "fetch_failures",
             fetch_failures.select(
-                "url_canon", F.col("fail_attempts").cast("array<int>")
+                "url_canon",
+                F.col("fail_attempts").cast("array<int>"),
+                (
+                    F.col("error_class").cast("string")
+                    if "error_class" in fetch_failures.columns
+                    else F.lit(None).cast("string")
+                ).alias("error_class"),
             ),
         )
         txn.commit()
@@ -204,17 +224,39 @@ class CrawlEngine:
             prune_pop=saved["prune_pop"],
             compact_every=saved["compact_every"],
             egress_dir=saved.get("egress_dir"),
+            bloom_buckets=saved.get("bloom_buckets", 64),
         )
         if eng._egress is not None:
             # publish-after-commit redelivery: any round committed before
             # the crash but never published goes out now (at-least-once)
             eng._egress.catch_up(spark, eng.store)
-        bloom_path = os.path.join(store_root, f"bloom-{eng.store.round}.npz")
         if eng.use_bloom:
-            if os.path.exists(bloom_path):
-                eng._bloom = BloomFilter.load(bloom_path)
-            else:  # rebuild from the seen table (correctness-neutral)
-                eng._bloom = eng._bloom_rebuild_streaming()
+            bloom_rnd = PartitionedBloom.latest_round(store_root)
+            if bloom_rnd is None:
+                # bitmaps lost entirely: rebuild from the seen table
+                # (correctness-neutral, executor-side Spark job)
+                eng._bloom = eng._bloom_rebuild_spark()
+            else:
+                eng._bloom = PartitionedBloom.load(store_root, bloom_rnd)
+                if bloom_rnd < eng.store.round:
+                    # a crash between the manifest swap and the bloom meta
+                    # write leaves the bitmaps behind the table — catch up
+                    # by folding in the missed seen fragments (never skip:
+                    # a stale bitmap means false negatives = duplicates)
+                    missed = [
+                        f
+                        for f in eng.store.manifest()["tables"]["seen"][
+                            "fragments"
+                        ]
+                        if f["seq"] > bloom_rnd
+                    ]
+                    if missed:
+                        keys = eng.store._read_fragments(
+                            spark, missed, SEEN
+                        ).select("url_hash")
+                        eng._bloom.add_keys(keys, "url_hash", eng.store.round)
+                    else:
+                        eng._bloom._write_meta(eng.store.round)
         return eng
 
     # ------------------------------------------------------------ table reads
@@ -446,46 +488,40 @@ class CrawlEngine:
         rows.unpersist()
         self._drain_scratch()
 
-    def _bloom_rebuild_streaming(self, expected_keys: int | None = None) -> BloomFilter:
-        """Rebuild the bitmap from the seen table's parquet fragments,
-        streamed batch-by-batch through pyarrow — bounded driver memory,
-        never a single collect of the full seen set. Sized from the actual
-        seen cardinality (parquet footer row counts) with 2x headroom.
-        (On a multi-executor cluster the same fold runs as a per-partition
-        bitmap OR via treeAggregate; the arrow path covers any filesystem
-        pyarrow reads, which includes this store.)"""
-        import numpy as np
-        import pyarrow.dataset as ds
-
+    def _bloom_rebuild_spark(self, expected_keys: int | None = None) -> PartitionedBloom:
+        """Rebuild the partitioned bitmaps from the seen table — one Spark
+        job (repartition keys by bucket, each task writes its buckets'
+        bitmap files); the driver only sees per-bucket stat rows. Sized
+        from the actual seen cardinality (parquet footer row counts, no
+        data read) with 2x headroom."""
         frags = self.store.manifest()["tables"]["seen"]["fragments"]
         if expected_keys is None:
             expected_keys = 2 * max(self.store.fragment_rows(frags), 1)
-        bf = BloomFilter.sized_for(expected_keys)
-        for frag in frags:
-            d = ds.dataset(
-                os.path.join(self.store.root, frag["dir"]), format="parquet"
-            )
-            for batch in d.to_batches(columns=["url_hash"]):
-                bf.add_many(batch.column("url_hash").to_numpy().astype(np.int64))
-        return bf
+        pb = PartitionedBloom.create(
+            self.store.root,
+            n_buckets=self.bloom_buckets,
+            expected_keys=expected_keys,
+            rnd=self.store.round if frags else -1,
+        )
+        if frags:
+            pb.add_keys(self.seen().select("url_hash"), "url_hash", self.store.round)
+        return pb
 
     def _bloom_add_from_seen_fragment(self, rnd: int) -> None:
-        """OR the just-committed seen fragment into the Bloom bitmap by
-        reading its parquet straight off disk — no Spark job. When the
-        bitmap passes its design capacity (saturation -> FPR collapse),
-        rebuild it at the next size from the seen table."""
+        """OR the just-committed seen fragment into the bucket bitmaps —
+        a Spark job over the fragment's keys (executor-side file folds,
+        only per-bucket counters reach the driver). Buckets past their
+        design capacity (saturation -> FPR collapse) are rebuilt alone at
+        their next size from the seen table."""
         if not self.use_bloom or self._bloom is None:
             return
-        import numpy as np
-        import pyarrow.parquet as pq
-
         frag = self.store.manifest()["tables"]["seen"]["fragments"][-1]
-        absdir = os.path.join(self.store.root, frag["dir"])
-        table = pq.read_table(absdir, columns=["url_hash"])
-        self._bloom.add_many(table.column("url_hash").to_numpy().astype(np.int64))
-        if self._bloom.should_grow():
-            self._bloom = self._bloom_rebuild_streaming()
-        self._bloom.save(os.path.join(self.store.root, f"bloom-{rnd}.npz"))
+        keys = self.store._read_fragments(self.spark, [frag], SEEN).select("url_hash")
+        saturated = self._bloom.add_keys(keys, "url_hash", rnd)
+        if saturated:
+            self._bloom.grow_buckets(
+                self.seen().select("url_hash"), "url_hash", rnd, saturated
+            )
 
     # ------------------------------------------------------------- one round
     def run_round(self, rnd: int) -> dict:
@@ -559,16 +595,15 @@ class CrawlEngine:
                 "fetch_failed", F.lit(True)
             )
             fetched = hits.where(~F.col("fetch_failed"))
+            # error_class rides along for the class-specific backoff;
+            # misses (URL absent from the corpus) have no class -> default
             failed = (
                 hits.where(F.col("fetch_failed"))
-                .select(*[f.name for f in FRONTIER.fields])
+                .select(*[f.name for f in FRONTIER.fields], "error_class")
                 .unionByName(
                     misses.select(
-                        *[
-                            f.name if f.name != "partition_id" else "partition_id"
-                            for f in FRONTIER.fields
-                        ]
-                    )
+                        *[f.name for f in FRONTIER.fields]
+                    ).withColumn("error_class", F.lit(None).cast("string"))
                 )
             )
         else:
@@ -586,7 +621,13 @@ class CrawlEngine:
                 ),
             ).cache()
             fetched = hits.where(~F.col("fetch_failed"))
-            failed = self.spark.createDataFrame([], FRONTIER)
+            failed = self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(FRONTIER.fields)
+                    + [T.StructField("error_class", T.StringType(), True)]
+                ),
+            )
 
         # one job: materialize the fetch AND the per-partition lineage counters
         part_counts = (
@@ -601,22 +642,29 @@ class CrawlEngine:
             assign_global_seq,
         )
 
-        # fetch_seq = dense rank of pop_seq among fetched rows. Assigning it
-        # with the generic two-pass range sort would shuffle every html
-        # payload twice; instead collect ONE slim int64 column (bounded by
-        # cfg.batch_size — the pop is size-capped by construction, same
-        # bounded-driver trade as the delete-keys path) and rank map-side
-        # via searchsorted. html never moves. Above the bound, fall back to
-        # the fully distributed assignment.
-        if n_fetched and n_fetched <= 20_000_000:
+        # fetch_seq = dense rank of pop_seq among fetched rows. pop_seq is
+        # already a dense 0..n_popped-1 sequence, so the rank of a fetched
+        # row is pop_seq minus the number of FAILED rows popped before it:
+        #   * no errors (the production common case): fetch_seq = pop_seq,
+        #     zero extra jobs, zero driver bytes;
+        #   * few errors: collect only the failed pop_seqs (bounded by the
+        #     error count, not the batch) and subtract map-side via
+        #     searchsorted — html never moves, the broadcast is tiny;
+        #   * degenerate (>2M errors AND >2M fetched): fully distributed
+        #     two-pass numbering (one slim-column range sort, cached).
+        if n_fetched and n_errors == 0:
+            fetched_seq = fetched.withColumn("seq", F.col("pop_seq"))
+        elif n_fetched and n_errors <= 2_000_000:
             import numpy as np
 
-            seqs = np.sort(
-                fetched.select("pop_seq")
+            failed_seqs = np.sort(
+                hits.where(F.col("fetch_failed"))
+                .select("pop_seq")
+                .unionByName(misses.select("pop_seq"))
                 .toPandas()["pop_seq"]  # Arrow path: one slim int64 column
                 .to_numpy(dtype=np.int64)
             )
-            bc_seqs = self.spark.sparkContext.broadcast(seqs)
+            bc_seqs = self.spark.sparkContext.broadcast(failed_seqs)
             seq_schema = T.StructType(
                 list(fetched.schema.fields)
                 + [T.StructField("seq", T.LongType(), False)]
@@ -626,10 +674,9 @@ class CrawlEngine:
                 for pdf in batches:
                     if not len(pdf):
                         continue
+                    p = pdf["pop_seq"].to_numpy(dtype=np.int64)
                     yield pdf.assign(
-                        seq=np.searchsorted(
-                            bc_seqs.value, pdf["pop_seq"].to_numpy()
-                        ).astype("int64")
+                        seq=p - np.searchsorted(bc_seqs.value, p)
                     )
 
             fetched_seq = fetched.mapInPandas(rank, seq_schema)
@@ -686,7 +733,19 @@ class CrawlEngine:
             F.lit(rnd).cast("int").alias("round"),
             F.col("partition_id").cast("int").alias("partition_id"),
         )
+        # class-specific backoff (reference: isRetryableError +
+        # per-class schedules, ethereum_service.go:100-124,594-624):
+        #   non_retryable -> failed immediately (no retry budget burned on
+        #                    a 404/parse error that can never succeed);
+        #   rate_limit    -> quadratic skip per failure, capped (attempt^2
+        #                    seconds recast in rounds) — a 429-ing host
+        #                    backs off harder each time;
+        #   default       -> the linear machine (skip_rounds once past
+        #                    max_retries), scheduler_service.go:324-357.
         new_rc = F.col("retry_count") + 1
+        is_rl = F.col("error_class") == F.lit("rate_limit")
+        is_nr = F.col("error_class") == F.lit("non_retryable")
+        dead = is_nr | (new_rc >= cfg.hard_fail_retries)
         failed_upd = failed.select(
             "url",
             "url_canon",
@@ -694,14 +753,17 @@ class CrawlEngine:
             "host",
             "priority",
             "discovery_ts",
-            F.when(new_rc >= cfg.hard_fail_retries, F.lit(STATUS_FAILED))
+            F.when(dead, F.lit(STATUS_FAILED))
             .otherwise(F.lit(STATUS_PENDING))
             .alias("status"),
             new_rc.cast("int").alias("retry_count"),
-            F.when(
-                (new_rc < cfg.hard_fail_retries) & (new_rc >= cfg.max_retries),
-                F.lit(rnd + cfg.skip_rounds),
+            F.when(dead, F.col("skip_until"))
+            .when(
+                is_rl,
+                F.lit(rnd)
+                + F.least(new_rc * new_rc, F.lit(cfg.rate_limit_skip_cap)),
             )
+            .when(new_rc >= cfg.max_retries, F.lit(rnd + cfg.skip_rounds))
             .otherwise(F.col("skip_until"))
             .cast("int")
             .alias("skip_until"),
@@ -765,12 +827,24 @@ class CrawlEngine:
         # component-health snapshot (reference: performHealthCheck,
         # crawler_service.go:666-907) — gauges already in hand, no extra job
         err_frac = (n_errors / n_popped) if n_popped else 0.0
-        sat = self._bloom.saturation() if self._bloom is not None else 0.0
+        sat = (
+            self._bloom.estimated_saturation() if self._bloom is not None else 0.0
+        )
+        # frontier delete debt AFTER this commit = debt before + this
+        # round's delete fragment (= the popped keys) — parquet footers
+        # only, no job. This gauge is ACTED on below (reference acts on
+        # degraded health with a recovery attempt, crawler_service.go:
+        # 820-907): past the threshold the frontier is compacted NOW.
+        del_rows = self.store.fragment_rows(
+            self.store.manifest()["tables"]["frontier"]["deletes"]
+        ) + (n_popped if n_popped else 0)
         health_rows = [
             (rnd, "store", True, float(self.store.manifest()["version"]), "manifest version"),
             (rnd, "bloom", sat < 0.5, float(sat), "bitmap saturation"),
             (rnd, "fetch", err_frac < 0.5, float(err_frac), "error fraction"),
             (rnd, "scheduler", True, float(wall_ms), "round wall ms"),
+            (rnd, "frontier", del_rows < self.compact_delete_rows, float(del_rows),
+             "delete-set rows pending compaction"),
         ]
         health_pdf = pd.DataFrame(health_rows, columns=[f.name for f in HEALTH.fields])
 
@@ -794,7 +868,12 @@ class CrawlEngine:
             self._egress.emit_round(self.spark, self.store, rnd)
         tick("commit")
 
-        if self.compact_every and rnd % self.compact_every == 0:
+        # compaction: scheduled (rnd % compact_every) OR health-triggered —
+        # the delete-set gauge above crossed the broadcast threshold, so
+        # every further round would pay a shuffled MOR join. Act now.
+        if (self.compact_every and rnd % self.compact_every == 0) or (
+            del_rows >= self.compact_delete_rows
+        ):
             self.store.compact(self.spark, "frontier", FRONTIER, rnd)
         tick("compact")
 

@@ -252,8 +252,7 @@ def _bucket_sql(vec_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-@_q(
-    "ann_lsh_topk",
+_LSH_TOPK_SQL = (
     "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
     f"qb AS (SELECT {_bucket_sql('qv')} AS qb FROM q), "
     "tagged AS (SELECT vec_id, embedding, "
@@ -262,8 +261,11 @@ def _bucket_sql(vec_expr: str) -> str:
     "(SELECT qv FROM q)) AS DOUBLE), 5) AS cos_sim "
     "FROM tagged WHERE bucket = (SELECT qb FROM qb) "
     "OR xor(bucket, (SELECT qb FROM qb)) IN (1, 2, 4, 8) "
-    "ORDER BY cos_sim DESC, vec_id LIMIT 10",
+    "ORDER BY cos_sim DESC, vec_id LIMIT 10"
 )
+
+
+@_q("ann_lsh_topk", _LSH_TOPK_SQL)
 def ann_lsh_topk(spark, sf):
     """Multi-probe (Hamming<=1) hyperplane-LSH ANN — the oracle recomputes
     the same seeded planes as SQL literals, so bucketing AND the pruned
@@ -279,6 +281,33 @@ def ann_lsh_topk(spark, sf):
     return lsh_topk(
         emb.where(F.col("vec_id") != 0), qv, k=10, n_planes=_N_PLANES, seed=7
     )
+
+
+@_q("ann_lsh_indexed_topk", _LSH_TOPK_SQL)
+def ann_lsh_indexed_topk(spark, sf):
+    """The AT-REST serving path of ``ann_lsh_topk``: the corpus is tagged
+    ONCE and written hive-partitioned by ``bucket`` (a per-corpus-version
+    artifact), and the query is a partition-pruned read of the 5 probed
+    buckets + exact rerank — never a full re-tagging scan. Same planes,
+    same probe set, bit-identical result, same DuckDB oracle."""
+    import tempfile
+
+    from ethereum_raw_data_crawler_spark.operators.similarity import AnnIndex
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    root = tempfile.mkdtemp(prefix="ann_lsh_idx_")
+    idx = AnnIndex.build_lsh(
+        emb.where(F.col("vec_id") != 0),
+        root,
+        dim=_EMB_DIM,
+        n_planes=_N_PLANES,
+        seed=7,
+    )
+    return idx.topk(spark, qv, k=10)
 
 
 # --------------------------------------------------------------------------

@@ -134,13 +134,20 @@ HEALTH = T.StructType(
 )
 
 # §9 fetch_failures — failure injection (retry/skip semantics).
-# fail_attempts holds 1-based fetch-attempt ordinals that raise a
-# retryable error, mirroring the failedBlocks/skippedBlocks machine
-# (reference: scheduler_service.go:324-357).
+# fail_attempts holds 1-based fetch-attempt ordinals that raise an
+# error, mirroring the failedBlocks/skippedBlocks machine (reference:
+# scheduler_service.go:324-357). error_class selects the backoff
+# schedule the way the reference's error taxonomy does
+# (isRetryableError + class-specific backoff, ethereum_service.go:
+# 100-124,594-624): "rate_limit" -> quadratic skip per failure
+# (attempt^2, the reference's attempt^2-seconds analogue in rounds);
+# "non_retryable" -> failed immediately; NULL / "timeout" / anything
+# else -> the default linear schedule (skip_rounds after max_retries).
 FETCH_FAILURES = T.StructType(
     [
         T.StructField("url_canon", T.StringType(), False),
         T.StructField("fail_attempts", T.ArrayType(T.IntegerType()), False),
+        T.StructField("error_class", T.StringType(), True),
     ]
 )
 

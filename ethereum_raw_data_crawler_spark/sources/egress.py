@@ -50,7 +50,13 @@ class EgressWriter:
 
     def emit_round(self, spark: SparkSession, store, rnd: int) -> int:
         """Publish the page events of committed round ``rnd`` (idempotent:
-        a second call overwrites the same directory and re-marks)."""
+        a second call overwrites the same directory and re-marks).
+
+        ONE Spark job: the write itself. The event count comes from the
+        fragment's parquet footers (events are a 1:1 projection of the
+        fragment's rows — no second computation of the projection), and
+        the file count is size-gated instead of ``coalesce(1)`` so a
+        10^7-page round publishes through many tasks, not one."""
         from ethereum_raw_data_crawler_spark.schemas import PAGES_OUT
 
         frags = [
@@ -61,13 +67,14 @@ class EgressWriter:
         if not frags:
             open(self._marker(rnd), "w").close()
             return 0
+        n = store.fragment_rows(frags)  # footers only, no job
         pages = store._read_fragments(spark, frags, PAGES_OUT)
         events = pages.select(
             "url", "fetch_round", "fetch_seq", "warc_ts", "lang"
         )
         out = os.path.join(self.egress_dir, f"round-{rnd}")
-        events.coalesce(1).write.mode("overwrite").parquet(out)
-        n = events.count()
+        nparts = max(1, min(64, n // 1_000_000 + 1))
+        events.coalesce(nparts).write.mode("overwrite").parquet(out)
         open(self._marker(rnd), "w").close()
         return n
 

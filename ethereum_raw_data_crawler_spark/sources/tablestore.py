@@ -277,21 +277,42 @@ class SnapshotStore:
         if not tagged:
             return 0
         n_deleted = int(sum(r["count"] for r in tagged))
-        hit_files = [r["_file"] for r in tagged]
+        # input_file_name() yields a file:// URI with URL-encoded characters;
+        # normalize both sides (decode, strip scheme, realpath) so store roots
+        # with './', symlinks, or spaces still map hits back onto fragments.
+        from urllib.parse import unquote, urlparse
+
+        def _norm(path: str) -> str:
+            if path.startswith("file:"):
+                path = urlparse(path).path
+            return os.path.realpath(unquote(path))
+
+        hit_files = [_norm(r["_file"]) for r in tagged]
 
         def _hit(frag: dict) -> bool:
-            marker = os.path.join(self.root, frag["dir"]).rstrip("/") + "/"
-            return any(marker in f for f in hit_files)
+            marker = _norm(os.path.join(self.root, frag["dir"])) + os.sep
+            return any(f.startswith(marker) for f in hit_files)
 
         txn = self.transaction(rnd)
         tt = txn.manifest["tables"][name]
+        # every counted file must belong to some fragment, else the commit
+        # below would report deletions it never performed
+        markers = [
+            _norm(os.path.join(self.root, frag["dir"])) + os.sep
+            for frag in tt["fragments"]
+        ]
+        unmapped = [f for f in hit_files if not any(f.startswith(m) for m in markers)]
+        assert not unmapped, f"matched files outside known fragments: {unmapped}"
         kept: list[dict] = []
         for frag in tt["fragments"]:
             if not _hit(frag):
                 kept.append(frag)
                 continue
+            # keep rows where the predicate is false OR NULL: a bare
+            # NOT (pred) would silently drop NULL-evaluating rows that were
+            # never counted as matches above
             survivors = self._read_fragments(spark, [frag], schema).where(
-                f"NOT ({predicate})"
+                f"({predicate}) IS NOT TRUE"
             )
             rel, absdir = self._new_dir(name, f"r{rnd}-cow")
             writer = survivors.write.mode("overwrite")

@@ -89,3 +89,53 @@ def run_streaming_ingest(
     finally:
         q.stop()
     return stats
+
+
+def run_hybrid(
+    spark: SparkSession,
+    engine: CrawlEngine,
+    seed_stream_dir: str,
+    ticks: int = 1,
+    rounds_per_batch: int = 1,
+    on_tick=None,
+) -> list[dict]:
+    """Hybrid mode dispatch (reference: scheduler_service.go:112-133,
+    199-263): realtime and polling run off ONE round machine, with the
+    scheduler arbitrating per tick —
+
+      * push source has new batches  -> realtime consumption (the WS
+        ``newHeads`` path), rounds driven by the pushed seeds;
+      * push source stalled          -> polling fallback over the
+        existing frontier backlog (the reference's WS-loss fallback
+        re-scan, scheduler_service.go:427-519), so a dead subscription
+        never stops the crawl;
+      * source recovers              -> realtime resumes from the stream
+        checkpoint (only unseen batches are consumed — no replays, no
+        gaps; late/duplicate pushes are absorbed by the seen-set).
+
+    Each tick drains the stream via the persistent checkpoint; an empty
+    drain IS the staleness signal (batch-mode analogue of the reference's
+    lastBlockTime staleness monitor). Returns the per-tick dispatch log:
+    ``{"tick", "mode": realtime|polling|idle, "rounds": [...]}``.
+    ``on_tick(t)`` lets tests inject pushes mid-run."""
+    log: list[dict] = []
+    for t in range(ticks):
+        if on_tick is not None:
+            on_tick(t)
+        stats = run_streaming_ingest(
+            spark, engine, seed_stream_dir, rounds_per_batch
+        )
+        if stats:
+            log.append(
+                {
+                    "tick": t,
+                    "mode": "realtime",
+                    "rounds": [s["round"] for s in stats],
+                }
+            )
+        elif engine.pending_count() > 0:
+            s = engine.run_round(engine.store.round + 1)
+            log.append({"tick": t, "mode": "polling", "rounds": [s["round"]]})
+        else:
+            log.append({"tick": t, "mode": "idle", "rounds": []})
+    return log

@@ -82,7 +82,9 @@ def test_cli_delete_health_egress(spark, tmp_path, capsys):
     rc = main(["health", "--store", store])
     assert rc == 0
     rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
-    assert {r["component"] for r in rows} == {"store", "bloom", "fetch", "scheduler"}
+    assert {r["component"] for r in rows} == {
+        "store", "bloom", "fetch", "scheduler", "frontier"
+    }
 
     # takedown one fetched page by exact url
     from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine

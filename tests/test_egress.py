@@ -98,6 +98,30 @@ def test_stream_consumer_tails_events(spark, t1_tables, tmp_path):
     assert sum(out) == eng.store.read(spark, "pages_out", PAGES_OUT).count()
 
 
+def test_emit_round_count_matches_rows_one_job(spark, t1_tables, tmp_path):
+    """emit_round's return value comes from the fragment footers (no
+    second projection job) and must equal the actual event rows; a
+    re-emit (redelivery) is idempotent for a consumer that dedups on the
+    (fetch_round, fetch_seq) key — the at-least-once contract."""
+    egress = str(tmp_path / "egress")
+    eng = _mk(spark, t1_tables, tmp_path, egress_dir=egress)
+    eng.run(max_rounds=2)
+    w = eng._egress
+    n = w.emit_round(spark, eng.store, 2)  # redeliver round 2
+    ev = w.read_events(spark)
+    assert n == ev.where("fetch_round = 2").count()
+    # consumer-side idempotence: after redelivery, the keyed event set is
+    # unchanged and (fetch_round, fetch_seq) is still unique
+    keyed = ev.groupBy("fetch_round", "fetch_seq").count()
+    assert keyed.where("count > 1").count() == 0
+    pg = {
+        (r["fetch_round"], r["fetch_seq"])
+        for r in eng.store.read(spark, "pages_out", PAGES_OUT).collect()
+    }
+    got = {(r["fetch_round"], r["fetch_seq"]) for r in ev.collect()}
+    assert got == pg
+
+
 def test_stateful_per_host_counters_accumulate_across_batches(
     spark, t1_tables, tmp_path
 ):

@@ -128,6 +128,59 @@ def test_retry_skip_equivalence(spark, t1_tables, tmp_path):
     assert efro["https://host9.example/p/0"] == ("fetched", 3, 5)
 
 
+def test_error_class_backoff_equivalence(spark, t1_tables, tmp_path):
+    """Per-error-class backoff (reference: isRetryableError + class
+    schedules, ethereum_service.go:100-124,594-624): rate_limit backs off
+    quadratically per failure, non_retryable dies immediately, the default
+    class keeps the linear machine — all three in ONE crawl, Spark
+    trace/frontier equal to the oracle."""
+    tabs = t1_tables
+    seeds = pd.DataFrame(
+        {
+            "url": [
+                "https://host7.example/p/0",
+                "https://host8.example/p/0",
+                "https://host9.example/p/0",
+                "https://host10.example/p/0",
+            ],
+            "priority": [0, 0, 0, 0],
+        }
+    ).astype({"priority": "int32"})
+    failures = pd.DataFrame(
+        {
+            "url_canon": [
+                "https://host8.example/p/0",
+                "https://host9.example/p/0",
+                "https://host10.example/p/0",
+            ],
+            "fail_attempts": [[1, 2, 3], [1, 2], [1]],
+            "error_class": [None, "rate_limit", "non_retryable"],
+        }
+    )
+    cfg = CrawlConfig(batch_size=5, max_retries=3, skip_rounds=2, priority_cap=0)
+    tabs = dict(tabs, seeds=seeds)
+    res = run_oracle(
+        tabs["pages"], seeds, tabs["robots"], tabs["politeness"], failures, cfg
+    )
+    eng = _mk_engine(spark, tmp_path, tabs, cfg, failures=failures)
+    eng.run()
+    assert _engine_trace(eng) == res.trace
+    efro = {
+        r["url_canon"]: (r["status"], r["retry_count"], r["skip_until"])
+        for r in eng.frontier().collect()
+    }
+    assert efro == {
+        c: (r.status, r.retry_count, r.skip_until) for c, r in res.frontier.items()
+    }
+    # the schedules really diverged:
+    # default: fail r1,r2,r3 -> skip to 5 -> fetched r5 with rc=3
+    assert efro["https://host8.example/p/0"] == ("fetched", 3, 5)
+    # rate_limit: fail r1 (skip->2), fail r2 (skip->6) -> fetched r6, rc=2
+    assert efro["https://host9.example/p/0"] == ("fetched", 2, 6)
+    # non_retryable: one failure, dead immediately (no retry budget burned)
+    assert efro["https://host10.example/p/0"] == ("failed", 1, None)
+
+
 def test_resume_from_snapshot(spark, t1_tables, tmp_path):
     """Kill-between-rounds resume (reference: initializeStartingBlock,
     crawler_service.go:199-226): run 3 rounds, reopen the store from disk,
@@ -154,10 +207,11 @@ def test_resume_from_snapshot(spark, t1_tables, tmp_path):
 
 def test_resume_rebuilds_bloom_from_seen(spark, t1_tables, tmp_path):
     """Resume with the persisted Bloom bitmaps deleted must rebuild from
-    the seen table and stay exactly equivalent (the prefilter is
-    correctness-neutral by construction)."""
+    the seen table (a Spark job) and stay exactly equivalent (the
+    prefilter is correctness-neutral by construction)."""
     import glob
     import os
+    import shutil
 
     tabs = t1_tables
     relaxed = tabs["politeness"].copy()
@@ -172,6 +226,7 @@ def test_resume_rebuilds_bloom_from_seen(spark, t1_tables, tmp_path):
     del eng
     for f in glob.glob(str(tmp_path / "store" / "bloom-*.npz")):
         os.remove(f)
+    shutil.rmtree(tmp_path / "store" / "bloom", ignore_errors=True)
     resumed = CrawlEngine.resume(spark, str(tmp_path / "store"))
     resumed.run()
     assert _engine_trace(resumed) == res.trace

@@ -48,6 +48,21 @@ ADVERSARIAL = [
     '<a href="">empty</a>',
     '<a href="x">l</a><a href="x">dup</a>',
     "é unicode <p>café</p>",
+    # CDATA semantics: a same-name open tag inside script/style is raw
+    # data to HTMLParser, not a nested element (ADVICE r2, medium)
+    "<script>x<script>y</script>z</script>w",
+    "<style>x<style>y</style>z</style>w",
+    "<script>if (a<b) {}</script>tail",
+    "<script></ script >ok",
+    "<script></scriptfoo></script>ok",
+    "<script></script x></script>k",
+    "<script>never closed",
+    "<noscript><script>x</script>hid</noscript>z",
+    # handle_starttag fires inside skipped noscript/template subtrees, so
+    # links there ARE collected by HTMLParser
+    '<noscript><a href="http://x.example/">t</a></noscript>after',
+    '<template><a href="http://t.example/">x</a></template>end',
+    '<a href="http://l.example/"/>selfclosing',
 ]
 
 
@@ -97,4 +112,19 @@ def test_random_fuzz_equivalence():
     alphabet = list("<>/ab \"='&;#!?-x1")
     for _ in range(3000):
         s = "".join(rng.choice(alphabet, size=rng.integers(0, 60)))
+        _same(s)
+
+
+def test_cdata_structured_fuzz_equivalence():
+    """Token-level fuzz biased toward script/style nesting, the CDATA
+    corner the character fuzz above almost never reaches."""
+    rng = np.random.default_rng(11)
+    tokens = [
+        "<script>", "</script>", "<style>", "</style>", "<script/>",
+        "<noscript>", "</noscript>", "<template>", "</template>",
+        '<a href="http://h/">', "</a>", "txt ", "< ", ">", "x",
+        "</ script >", "</scripty>",
+    ]
+    for _ in range(3000):
+        s = "".join(rng.choice(tokens, size=rng.integers(0, 12)))
         _same(s)

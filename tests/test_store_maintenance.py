@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import functions as F, types as T
 
 from ethereum_raw_data_crawler_spark.config import CrawlConfig
-from ethereum_raw_data_crawler_spark.operators.bloom import BloomFilter
+from ethereum_raw_data_crawler_spark.operators.bloom import (
+    BloomFilter,
+    PartitionedBloom,
+)
 from ethereum_raw_data_crawler_spark.plans.oracle import run_oracle
 from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
 from ethereum_raw_data_crawler_spark.schemas import HEALTH, METRICS
@@ -178,9 +181,16 @@ def test_engine_bloom_grows_mid_crawl(spark, t1_tables, tmp_path):
         spark.createDataFrame(tabs["fetch_failures"]),
         cfg,
     )
-    eng._bloom = BloomFilter(n_bits=64 * 4, k=3)  # capacity ~59 keys
+    # swap in a deliberately tiny partitioned bitmap (capacity ~29
+    # keys/bucket), pre-folded with the already-seen seed keys so the
+    # prefilter stays free of false negatives
+    tiny = PartitionedBloom.create(
+        str(tmp_path / "store"), n_buckets=2, n_bits_per_bucket=128, k=3, rnd=0
+    )
+    tiny.add_keys(eng.seen().select("url_hash"), "url_hash", 0)
+    eng._bloom = tiny
     eng.run()
-    assert eng._bloom.n_bits > 64 * 4
+    assert eng._bloom.total_bits > 2 * 128  # at least one bucket grew
     trace = [
         (r["round"], r["seq"], r["url_canon"], r["host"])
         for r in eng.read_trace().orderBy("round", "seq").collect()
@@ -253,11 +263,43 @@ def test_health_rows_per_round(spark, t1_tables, tmp_path):
         by_round.setdefault(r["round"], set()).add(r["component"])
         assert isinstance(r["healthy"], bool)
     assert by_round == {
-        1: {"store", "bloom", "fetch", "scheduler"},
-        2: {"store", "bloom", "fetch", "scheduler"},
+        1: {"store", "bloom", "fetch", "scheduler", "frontier"},
+        2: {"store", "bloom", "fetch", "scheduler", "frontier"},
     }
     sat = [r for r in rows if r["component"] == "bloom"]
     assert all(0.0 <= r["value"] < 1.0 for r in sat)
+
+
+def test_degraded_delete_gauge_triggers_compaction(spark, t1_tables, tmp_path):
+    """Health gauges are ACTED on (reference: performHealthCheck recovery,
+    crawler_service.go:820-907): once the frontier's accumulated delete
+    set crosses the broadcast threshold, the engine compacts in THAT
+    round — not at the next blind rnd % compact_every tick."""
+    tabs = t1_tables
+    relaxed = tabs["politeness"].copy()
+    relaxed["budget_per_round"] = 50
+    eng = CrawlEngine.create(
+        spark,
+        str(tmp_path / "store"),
+        spark.createDataFrame(tabs["pages"]),
+        spark.createDataFrame(tabs["seeds"]),
+        spark.createDataFrame(tabs["robots"]),
+        spark.createDataFrame(relaxed),
+        spark.createDataFrame(tabs["fetch_failures"]),
+        CrawlConfig(batch_size=400),
+        compact_every=1000,  # the schedule alone would never compact here
+    )
+    eng.compact_delete_rows = 1  # any delete debt is "degraded"
+    eng.run(max_rounds=2)
+    t = eng.store.manifest()["tables"]["frontier"]
+    assert t["deletes"] == []  # compacted within the round, debt cleared
+    # the degraded gauge was recorded before the action
+    unhealthy = [
+        r
+        for r in eng.health().collect()
+        if r["component"] == "frontier" and not r["healthy"]
+    ]
+    assert unhealthy  # gauge showed degraded in the acting round
 
 
 # ------------------------------------------------- manifest history / O(1)

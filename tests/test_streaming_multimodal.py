@@ -62,6 +62,74 @@ def test_streaming_ingest_pushes_seeds_and_crawls(spark, t1_tables, tmp_path):
     assert "https://host3.example/p/0" in trace_urls
 
 
+def test_hybrid_dispatch_falls_back_and_recovers(spark, t1_tables, tmp_path):
+    """Hybrid mode arbitration (reference: scheduler_service.go:112-133,
+    199-263): realtime while pushes arrive, polling fallback over the
+    frontier backlog when the push source stalls, realtime again on
+    recovery — with no replayed and no lost pushes across transitions."""
+    from ethereum_raw_data_crawler_spark.streaming.realtime import run_hybrid
+
+    tabs = t1_tables
+    relaxed = tabs["politeness"].copy()
+    relaxed["budget_per_round"] = 50
+    # two batch seeds = polling backlog (batch_size=1 keeps one pending)
+    eng = CrawlEngine.create(
+        spark,
+        str(tmp_path / "store"),
+        spark.createDataFrame(tabs["pages"]),
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url": [
+                        "https://host1.example/p/0",
+                        "https://host1.example/p/1",
+                    ],
+                    "priority": [0, 0],
+                }
+            )
+        ),
+        spark.createDataFrame(tabs["robots"]),
+        spark.createDataFrame(relaxed),
+        None,
+        # batch_size=2: the tick-0 realtime round drains both host1 seeds
+        # (they sort before the pushed host2 URL), leaving the push as the
+        # tick-1 polling backlog
+        CrawlConfig(batch_size=2, priority_cap=0),  # no outlink expansion
+    )
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+
+    def push(name: str, url: str) -> None:
+        with open(os.path.join(stream_dir, name), "w") as fh:
+            fh.write(
+                json.dumps(
+                    {"url": url, "priority": 0,
+                     "event_ts": "2025-01-01T00:00:00Z"}
+                )
+                + "\n"
+            )
+
+    def on_tick(t: int) -> None:
+        if t == 0:
+            push("b0.json", "https://host2.example/p/0")
+        elif t == 2:  # source recovers after the tick-1 stall
+            push("b2.json", "https://host3.example/p/0")
+
+    log = run_hybrid(spark, eng, stream_dir, ticks=3, on_tick=on_tick)
+    assert [e["mode"] for e in log] == ["realtime", "polling", "realtime"]
+    # rounds are contiguous across mode switches (one shared machine)
+    rounds = [r for e in log for r in e["rounds"]]
+    assert rounds == sorted(rounds) and len(set(rounds)) == len(rounds)
+    # every push was crawled exactly once; the polling tick drained backlog
+    trace = [
+        (r["round"], r["url_canon"]) for r in eng.read_trace().collect()
+    ]
+    urls = [u for _, u in trace]
+    assert urls.count("https://host2.example/p/0") == 1
+    assert urls.count("https://host3.example/p/0") == 1
+    assert len(urls) == len(set(urls))
+
+
 def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     """Watermarked tumbling-window stream agg == batch agg once all data
     arrived (the metricsWorker recast, SURVEY §2.8)."""

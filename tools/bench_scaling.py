@@ -52,7 +52,7 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         seed_path = os.path.join(corpus_dir, "seeds.parquet")
-        if os.path.exists(seed_path) and os.environ.get("SPARK_GRAFT_CRAWL_SCALE") == "xl":
+        if os.path.exists(seed_path) and scale.startswith("xl"):
             seeds = spark.read.parquet(seed_path)
         else:
             seeds = pages.select("url", F.lit(0).cast("int").alias("priority"))
