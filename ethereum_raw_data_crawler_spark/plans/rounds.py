@@ -35,6 +35,7 @@ import os
 import time
 from dataclasses import asdict
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -515,8 +516,18 @@ class CrawlEngine:
         their next size from the seen table."""
         if not self.use_bloom or self._bloom is None:
             return
-        frag = self.store.manifest()["tables"]["seen"]["fragments"][-1]
-        keys = self.store._read_fragments(self.spark, [frag], SEEN).select("url_hash")
+        frags = [
+            f
+            for f in self.store.manifest()["tables"]["seen"]["fragments"]
+            if f["seq"] == rnd
+        ]
+        if not frags or self.store.fragment_rows(frags) == 0:
+            # nothing discovered this round: keep the bloom meta's round in
+            # step with the table (crash catch-up compares the two) without
+            # paying an empty fold job
+            self._bloom._write_meta(rnd)
+            return
+        keys = self.store._read_fragments(self.spark, frags, SEEN).select("url_hash")
         saturated = self._bloom.add_keys(keys, "url_hash", rnd)
         if saturated:
             self._bloom.grow_buckets(
@@ -548,7 +559,13 @@ class CrawlEngine:
             cfg.default_budget,
             prune=self.prune_pop,
             scratch=self._scratch,
-        ).cache()
+        )
+        # small-k pops come off a driver TakeOrdered (no upstream cache) —
+        # cache them; large-k pops are a cheap map over the range-sorted
+        # partitioning assign_global_seq already cached in scratch, so a
+        # second 10^7-row materialization here would only burn memory
+        if cfg.batch_size <= 100_000:
+            popped = popped.cache()
         # one job: popped count + the corpus buckets it hashes into
         bucket_counts = (
             popped.groupBy(
@@ -586,7 +603,6 @@ class CrawlEngine:
                     ),
                 )
                 .withColumn("partition_id", F.spark_partition_id())
-                .cache()
             )
             hit_keys = hits.select("url_canon")
             if n_popped <= 100_000:
@@ -619,7 +635,7 @@ class CrawlEngine:
                         T.StructField("fetch_failed", T.BooleanType(), False),
                     ]
                 ),
-            ).cache()
+            )
             fetched = hits.where(~F.col("fetch_failed"))
             failed = self.spark.createDataFrame(
                 [],
@@ -629,15 +645,26 @@ class CrawlEngine:
                 ),
             )
 
-        # one job: materialize the fetch AND the per-partition lineage counters
+        # THE round's one heavy materialization: the fetched rows with
+        # their parse results. html crosses the Arrow socket once and is
+        # cached once; hits stays UNcached — its failed/miss branches are
+        # recomputed slim (column pruning keeps html out of those scans),
+        # which costs a narrow join instead of a second 10^7-row html
+        # cache competing for executor memory (the thing that made 32
+        # concurrent tasks spill where 8 did not).
+        extracted_base = fetched.withColumn(
+            "ext", extract_page_udf("html", "url_canon")
+        ).cache()
+        # one job: materialize fetch+parse AND the per-partition lineage
         part_counts = (
-            fetched.groupBy("partition_id").agg(F.count("*").alias("fetched")).collect()
+            extracted_base.groupBy("partition_id")
+            .agg(F.count("*").alias("fetched"))
+            .collect()
         )
         n_fetched = int(sum(r["fetched"] for r in part_counts))
         n_errors = n_popped - n_fetched
         tick("fetch")
 
-        # ---- extract (ONE pass: html crosses the Arrow socket once) -------
         from ethereum_raw_data_crawler_spark.operators.priority_pop import (
             assign_global_seq,
         )
@@ -653,7 +680,7 @@ class CrawlEngine:
         #   * degenerate (>2M errors AND >2M fetched): fully distributed
         #     two-pass numbering (one slim-column range sort, cached).
         if n_fetched and n_errors == 0:
-            fetched_seq = fetched.withColumn("seq", F.col("pop_seq"))
+            extracted = extracted_base.withColumn("seq", F.col("pop_seq"))
         elif n_fetched and n_errors <= 2_000_000:
             import numpy as np
 
@@ -665,39 +692,24 @@ class CrawlEngine:
                 .to_numpy(dtype=np.int64)
             )
             bc_seqs = self.spark.sparkContext.broadcast(failed_seqs)
-            seq_schema = T.StructType(
-                list(fetched.schema.fields)
-                + [T.StructField("seq", T.LongType(), False)]
-            )
 
-            def rank(batches):
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    p = pdf["pop_seq"].to_numpy(dtype=np.int64)
-                    yield pdf.assign(
-                        seq=p - np.searchsorted(bc_seqs.value, p)
-                    )
+            # scalar pandas UDF: ONLY pop_seq crosses the Arrow socket
+            # (a mapInPandas here would ship html+text along for the ride)
+            from pyspark.sql.functions import pandas_udf
 
-            fetched_seq = fetched.mapInPandas(rank, seq_schema)
+            @pandas_udf("long")
+            def _rank(p: pd.Series) -> pd.Series:
+                pv = p.to_numpy(dtype=np.int64)
+                return pd.Series(pv - np.searchsorted(bc_seqs.value, pv))
+
+            extracted = extracted_base.withColumn("seq", _rank("pop_seq"))
         else:
-            fetched_seq = assign_global_seq(
-                fetched,
+            extracted = assign_global_seq(
+                extracted_base,
                 ["pop_seq"],
                 "seq",
                 approx_count=n_fetched if n_fetched <= 200_000 else None,
                 scratch=self._scratch,
-            )
-        extracted = fetched_seq.withColumn(
-            "ext", extract_page_udf("html", "url_canon")
-        ).cache()
-        if os.environ.get("SPARK_GRAFT_PHASE_DEBUG") == "1":
-            t_x = time.monotonic()
-            n_x = extracted.count()
-            print(
-                f"  [probe] extract(parse+cache): {n_x} rows, "
-                f"{int((time.monotonic()-t_x)*1000)} ms",
-                flush=True,
             )
         pages_out = extracted.select(
             F.col("url_canon").alias("url"),
@@ -780,8 +792,6 @@ class CrawlEngine:
 
         # ---- per-(round, partition) lineage metrics ------------------------
         wall_ms = int((time.monotonic() - t0) * 1000)
-        import pandas as pd
-
         metrics_rows = [
             (
                 rnd,
@@ -850,7 +860,10 @@ class CrawlEngine:
 
         txn = self.store.transaction(rnd)
         txn.append("pages_out", pages_out)
-        txn.append("seen", new_seen.coalesce(parts(disc_stats["discovered"])))
+        if disc_stats["discovered"]:
+            # a discovery-free round (fully-seeded production shape) skips
+            # the empty fragment AND its write job
+            txn.append("seen", new_seen.coalesce(parts(disc_stats["discovered"])))
         txn.append_pandas("metrics", metrics_pdf, METRICS)
         if "health" in txn.manifest["tables"]:  # stores created pre-§10
             txn.append_pandas("health", health_pdf, HEALTH)
@@ -877,8 +890,8 @@ class CrawlEngine:
             self.store.compact(self.spark, "frontier", FRONTIER, rnd)
         tick("compact")
 
-        for df in (popped, hits, extracted, discovered):
-            df.unpersist()
+        for df in (popped, extracted_base, discovered):
+            df.unpersist()  # no-op for the never-cached large-k popped
         self._drain_scratch()
         return {
             "round": rnd,

@@ -6,6 +6,13 @@ throughput at both plus efficiency = (T_N * N) / (T_4N * 4N)^-1, i.e.
 
 Usage: python tools/bench_scaling.py <cores> [rounds] [batch]
 Prints one JSON line; tools/run_scaling.sh drives both levels.
+
+Store reuse (for multi-leg pairs at big batches, where engine setup
+would dominate wall-clock): SPARK_GRAFT_STORE_TEMPLATE=<dir> —
+first invocation builds the store there (once, at whatever core count),
+later invocations rsync-copy the template to a scratch dir and
+``CrawlEngine.resume`` on the copy, so every leg starts from the
+IDENTICAL pre-round state and pays zero setup.
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -25,6 +33,7 @@ def main() -> None:
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
     scale = os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "bench")
+    template = os.environ.get("SPARK_GRAFT_STORE_TEMPLATE")
 
     import pandas as pd
 
@@ -62,14 +71,36 @@ def main() -> None:
         politeness_pdf["budget_per_round"] = 1000
     politeness = spark.createDataFrame(politeness_pdf)
 
-    root = tempfile.mkdtemp(prefix=f"scaling_{cores}_")
+    # SPARK_GRAFT_SCRATCH: where the run's store lives. On one box the
+    # store's parquet writes otherwise serialize on the single root disk
+    # at every core count (a real cluster's disks scale with nodes);
+    # /dev/shm is the same honest proxy the shuffle dirs already use.
+    root = tempfile.mkdtemp(
+        prefix=f"scaling_{cores}_", dir=os.environ.get("SPARK_GRAFT_SCRATCH")
+    )
     try:
         cfg = CrawlConfig(batch_size=batch)
         t_setup = time.monotonic()
-        eng = CrawlEngine.create(
-            spark, root, pages, seeds, robots, politeness, None, cfg,
-            n_buckets=64, prune_pop=not giant,
-        )
+        if template and os.path.exists(os.path.join(template, "config.json")):
+            # copy the prebuilt store so this leg starts from the identical
+            # pre-round state (cp -a preserves the fragment layout; the
+            # store is self-contained)
+            subprocess.run(
+                ["cp", "-a", template, os.path.join(root, "store")], check=True
+            )
+            eng = CrawlEngine.resume(spark, os.path.join(root, "store"))
+        else:
+            build_root = template if template else root
+            eng = CrawlEngine.create(
+                spark, build_root, pages, seeds, robots, politeness, None, cfg,
+                n_buckets=64, prune_pop=not giant,
+            )
+            if template:
+                print(
+                    json.dumps({"template_built": template,
+                                "setup_sec": round(time.monotonic() - t_setup, 2)})
+                )
+                return
         setup_sec = time.monotonic() - t_setup
         t0 = time.monotonic()
         stats = eng.run(max_rounds=rounds)
