@@ -98,6 +98,45 @@ def test_pop_respects_budget_and_order(spark, t1_tables):
     assert keys == sorted(keys)
 
 
+def test_pop_large_k_distributed_path_matches_small_k(spark, t1_tables):
+    """batch_size > 100k switches to the distributed range-sort + dense
+    numbering path (uncached output riding the scratch cache) — it must
+    return exactly the small-k result: same rows, same dense pop_seq,
+    read stably across multiple consuming actions."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 600
+    hosts = [f"host{int(h)}.example" for h in rng.integers(1, 9, n)]
+    pdf = pd.DataFrame(
+        {
+            "url_canon": [f"https://{h}/p/{i}" for i, h in enumerate(hosts)],
+            "host": hosts,
+            "priority": rng.integers(0, 3, n).astype("int32"),
+            "discovery_ts": pd.to_datetime("2025-01-01", utc=True)
+            + pd.to_timedelta(rng.integers(0, 1000, n), unit="s"),
+            "url_hash": np.arange(n),
+        }
+    )
+    eligible = spark.createDataFrame(pdf)
+    politeness = spark.createDataFrame(t1_tables["politeness"])
+    scratch = []
+    big = pop_batch(
+        eligible, politeness, 200_000, 5, prune=False, scratch=scratch
+    )
+    key = lambda r: (r["pop_seq"], r["url_canon"])
+    got1 = sorted(map(key, big.collect()))
+    got2 = sorted(map(key, big.collect()))  # second action: same numbering
+    assert got1 == got2
+    small = pop_batch(eligible, politeness, 100_000, 5, prune=False)
+    want = sorted(map(key, small.collect()))
+    assert got1 == want
+    seqs = [s for s, _ in got1]
+    assert seqs == list(range(len(seqs)))  # dense 0..n-1
+    for df in scratch:
+        df.unpersist()
+
+
 def test_corpus_fetch_prunes_buckets(spark, t1_tables, tmp_path):
     """The fetch join must NOT scan the whole corpus: the parquet scan's
     partition filter lists only the popped batch's buckets."""
