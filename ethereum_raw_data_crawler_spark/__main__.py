@@ -79,6 +79,24 @@ def cmd_resume(args) -> int:
     return 0
 
 
+def cmd_hybrid(args) -> int:
+    """Hybrid mode dispatch (reference: scheduler_service.go:112-133,
+    199-263): per-tick realtime consumption of pushed seed batches with
+    polling fallback over the frontier backlog when the source stalls."""
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+    from ethereum_raw_data_crawler_spark.streaming.realtime import run_hybrid
+
+    spark = _spark(args)
+    eng = CrawlEngine.resume(spark, args.store)
+    log = run_hybrid(
+        spark, eng, args.stream_dir, ticks=args.ticks,
+        rounds_per_batch=args.rounds_per_batch,
+    )
+    for entry in log:
+        print(json.dumps(entry))
+    return 0
+
+
 def cmd_status(args) -> int:
     from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
     from ethereum_raw_data_crawler_spark.schemas import METRICS, SEEN
@@ -164,6 +182,15 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--store", required=True)
     r.add_argument("--rounds", type=int, default=None)
     r.set_defaults(fn=cmd_resume)
+
+    hy = sub.add_parser(
+        "hybrid", help="realtime stream consumption w/ polling fallback"
+    )
+    hy.add_argument("--store", required=True)
+    hy.add_argument("--stream-dir", required=True)
+    hy.add_argument("--ticks", type=int, default=1)
+    hy.add_argument("--rounds-per-batch", type=int, default=1)
+    hy.set_defaults(fn=cmd_hybrid)
 
     s = sub.add_parser("status", help="store state summary")
     s.add_argument("--store", required=True)

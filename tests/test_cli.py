@@ -60,6 +60,41 @@ def test_cli_crawl_without_dims_defaults(spark, tmp_path, capsys):
     assert line["fetched"] > 0
 
 
+def test_cli_hybrid_dispatch(spark, tmp_path, capsys):
+    """`hybrid` drives realtime consumption of a pushed batch, then falls
+    back to polling over the backlog when the stream dir goes quiet."""
+    corpus = str(tmp_path / "corpus")
+    synth.write_corpus(corpus, synth.T1)
+    store = str(tmp_path / "storeh")
+    rc = main(
+        [
+            "crawl",
+            "--store", store,
+            "--pages", os.path.join(corpus, "pages.parquet"),
+            "--seeds", os.path.join(corpus, "seeds.parquet"),
+            "--rounds", "1",
+            "--batch-size", "20",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    stream = str(tmp_path / "stream")
+    os.makedirs(stream)
+    with open(os.path.join(stream, "b0.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"url": "https://host2.example/p/1", "priority": 0,
+                 "event_ts": "2025-01-01T00:00:00Z"}
+            )
+            + "\n"
+        )
+    rc = main(["hybrid", "--store", store, "--stream-dir", stream, "--ticks", "2"])
+    assert rc == 0
+    log = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [e["mode"] for e in log] == ["realtime", "polling"]
+    assert all(e["rounds"] for e in log)
+
+
 def test_cli_delete_health_egress(spark, tmp_path, capsys):
     corpus = str(tmp_path / "corpus")
     synth.write_corpus(corpus, synth.T1)
