@@ -264,10 +264,16 @@ class PartitionedBloom:
     def _gc(self, keep: int = 2) -> None:
         """Drop meta files past the newest ``keep`` and any bitmap file no
         surviving meta references (superseded by later OR-ins/rebuilds)."""
+        # numeric sort on the parsed round (the same parse latest_round
+        # uses): lexicographic order breaks once the round number outgrows
+        # the zero padding ("meta-1000000.json" < "meta-999999.json")
         metas = sorted(
-            f
-            for f in os.listdir(self.dir)
-            if f.startswith("meta-") and f.endswith(".json")
+            (
+                f
+                for f in os.listdir(self.dir)
+                if f.startswith("meta-") and f.endswith(".json")
+            ),
+            key=lambda f: int(f[len("meta-") : -len(".json")]),
         )
         live: set[str] = set()
         for mf in metas[-keep:]:

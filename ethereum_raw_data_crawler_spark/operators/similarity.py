@@ -208,16 +208,65 @@ class AnnIndex:
     Same probe logic and seeds as the inline helpers, so results are
     bit-identical to ``lsh_topk``/``ivf_topk`` on the same input
     (asserted in tests/test_ann_index.py, alongside the plan assertion
-    that the scan touches only probed partitions)."""
+    that the scan touches only probed partitions).
 
-    def __init__(self, root: str) -> None:
+    Rebuilds follow the same snapshot commit protocol as every table in
+    the store (sources/tablestore.py:143, operators/bloom.py:257): each
+    build writes a fresh ``v-NNNNNN/`` directory (data + model + meta)
+    and only then swaps the ``current.json`` pointer into place with an
+    atomic temp + ``os.replace``. A crash anywhere mid-rebuild leaves at
+    worst an orphaned half-written version directory; the pointer — and
+    therefore every reader — still sees the previous complete index.
+    Old versions stay readable via ``AnnIndex(root, version=k)`` (time
+    travel), mirroring the store's manifest history."""
+
+    POINTER = "current.json"
+
+    def __init__(self, root: str, version: int | None = None) -> None:
         import json
         import os
 
         self.root = root
-        with open(os.path.join(root, "meta.json")) as fh:
+        if version is None:
+            with open(os.path.join(root, self.POINTER)) as fh:
+                version = int(json.load(fh)["version"])
+        self.version = version
+        self.vdir = os.path.join(root, f"v-{version:06d}")
+        with open(os.path.join(self.vdir, "meta.json")) as fh:
             self.meta = json.load(fh)
-        self.model = np.load(os.path.join(root, "model.npy"))
+        self.model = np.load(os.path.join(self.vdir, "model.npy"))
+
+    # ---- commit protocol (shared by both builders) ----------------------
+    @classmethod
+    def _begin_version(cls, root: str) -> tuple[int, str]:
+        """Allocate the next version directory. Nothing a reader can see
+        changes until ``_publish`` swaps the pointer."""
+        import json
+        import os
+
+        os.makedirs(root, exist_ok=True)
+        try:
+            with open(os.path.join(root, cls.POINTER)) as fh:
+                cur = int(json.load(fh)["version"])
+        except FileNotFoundError:
+            cur = 0
+        v = cur + 1
+        vdir = os.path.join(root, f"v-{v:06d}")
+        os.makedirs(vdir, exist_ok=True)
+        return v, vdir
+
+    @classmethod
+    def _publish(cls, root: str, version: int) -> None:
+        """The commit point: one atomic rename, same as the store's
+        manifest swap."""
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(root, f".current.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(tmp, os.path.join(root, cls.POINTER))
 
     # ---- build (once per corpus version) --------------------------------
     @classmethod
@@ -236,11 +285,12 @@ class AnnIndex:
 
         planes = hyperplanes(dim, n_planes, seed)
         tagged = with_lsh_bucket(embeddings, planes, id_col, vec_col)
+        version, vdir = cls._begin_version(root)
         tagged.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(root, "data")
+            os.path.join(vdir, "data")
         )
-        np.save(os.path.join(root, "model.npy"), planes)
-        with open(os.path.join(root, "meta.json"), "w") as fh:
+        np.save(os.path.join(vdir, "model.npy"), planes)
+        with open(os.path.join(vdir, "meta.json"), "w") as fh:
             json.dump(
                 {
                     "kind": "lsh",
@@ -251,6 +301,7 @@ class AnnIndex:
                 },
                 fh,
             )
+        cls._publish(root, version)
         return cls(root)
 
     @classmethod
@@ -263,17 +314,26 @@ class AnnIndex:
         seed: int = 13,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        centroids: "np.ndarray | None" = None,
     ) -> "AnnIndex":
         import json
         import os
 
-        # deterministic quantizer sample: ordered prefix (same rule as
-        # ivf_topk, so the two paths assign identical list ids)
-        pdf_sample = (
-            embeddings.orderBy(id_col).select(vec_col).limit(sample).toPandas()
-        )
-        train = np.stack(pdf_sample[vec_col].to_numpy()).astype(np.float64)
-        cents = kmeans_centroids(train, k=n_lists, seed=seed)
+        if centroids is not None:
+            # caller-supplied quantizer (e.g. the per-label-mean centroids
+            # the SQL-oracled ann_ivf_topk uses): list_id = row index of
+            # the nearest centroid, ties to the lower index — identical
+            # assignment + probe semantics to the sampled-kmeans default
+            cents = np.asarray(centroids, dtype=np.float64)
+            n_lists = cents.shape[0]
+        else:
+            # deterministic quantizer sample: ordered prefix (same rule as
+            # ivf_topk, so the two paths assign identical list ids)
+            pdf_sample = (
+                embeddings.orderBy(id_col).select(vec_col).limit(sample).toPandas()
+            )
+            train = np.stack(pdf_sample[vec_col].to_numpy()).astype(np.float64)
+            cents = kmeans_centroids(train, k=n_lists, seed=seed)
 
         spark = embeddings.sparkSession
         bc = spark.sparkContext.broadcast(cents)
@@ -290,11 +350,12 @@ class AnnIndex:
                 d = ((vecs[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
                 yield pdf.assign(list_id=d.argmin(axis=1).astype(np.int32))
 
+        version, vdir = cls._begin_version(root)
         embeddings.mapInPandas(assign, schema).write.mode(
             "overwrite"
-        ).partitionBy("list_id").parquet(os.path.join(root, "data"))
-        np.save(os.path.join(root, "model.npy"), cents)
-        with open(os.path.join(root, "meta.json"), "w") as fh:
+        ).partitionBy("list_id").parquet(os.path.join(vdir, "data"))
+        np.save(os.path.join(vdir, "model.npy"), cents)
+        with open(os.path.join(vdir, "meta.json"), "w") as fh:
             json.dump(
                 {
                     "kind": "ivf",
@@ -305,6 +366,7 @@ class AnnIndex:
                 },
                 fh,
             )
+        cls._publish(root, version)
         return cls(root)
 
     # ---- query (partition-pruned read + exact rerank) -------------------
@@ -314,14 +376,16 @@ class AnnIndex:
             qb = int(_bucket_of(q[None, :], self.model)[0])
             return [qb] + [qb ^ (1 << i) for i in range(self.meta["n_planes"])]
         d = ((self.model - q[None, :]) ** 2).sum(axis=1)
-        return [int(p) for p in d.argsort()[:n_probe]]
+        # stable sort: equal distances resolve to the lower list id, the
+        # same (distance, label) order the SQL oracle's ORDER BY uses
+        return [int(p) for p in np.argsort(d, kind="stable")[:n_probe]]
 
     def candidates(self, spark, query_vec: list[float], n_probe: int = 4) -> DataFrame:
         """The partition-pruned candidate scan (exposed for plan tests)."""
         import os
 
         tag = self.meta["tag_col"]
-        df = spark.read.parquet(os.path.join(self.root, "data"))
+        df = spark.read.parquet(os.path.join(self.vdir, "data"))
         # NO cast on the partition column: Catalyst prunes partitions on
         # the raw attribute; literals coerce to the inferred column type
         return df.where(

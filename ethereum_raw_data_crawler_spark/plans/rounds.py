@@ -780,7 +780,13 @@ class CrawlEngine:
             .cast("int")
             .alias("skip_until"),
             F.lit(rnd).cast("int").alias("round"),
-            "partition_id",
+            # lineage: partition_id = "the fetch-job partition that produced
+            # this row's bytes". Failed/missed rows produced none — NULL,
+            # like discovered rows. (Taking spark_partition_id() from the
+            # failed branch's re-evaluation would record a DIFFERENT job's
+            # layout than the fetched rows' cached one — inconsistent
+            # lineage under AQE; misses would carry a stale prior-round id.)
+            F.lit(None).cast("int").alias("partition_id"),
         )
         frontier_new = fetched_upd.unionByName(failed_upd).unionByName(discovered)
         # small pops: collect delete keys driver-side (no Spark write job);
@@ -914,6 +920,22 @@ class CrawlEngine:
     # ------------------------------------------------------------- the loop
     def pending_count(self) -> int:
         return self.frontier().where(F.col("status") == STATUS_PENDING).count()
+
+    def eligible_count(self, rnd: int) -> int:
+        """Pending rows that round ``rnd`` would actually pop — the
+        pending count minus rows inside a retry-skip window
+        (scheduler_service.go:291-303's eligibility gate)."""
+        return (
+            self.frontier()
+            .where(
+                (F.col("status") == STATUS_PENDING)
+                & (
+                    F.col("skip_until").isNull()
+                    | (F.col("skip_until") <= F.lit(rnd))
+                )
+            )
+            .count()
+        )
 
     def run(self, max_rounds: int | None = None) -> list[dict]:
         """Round loop (reference: crawlerWorker ticker, crawler_service.go:

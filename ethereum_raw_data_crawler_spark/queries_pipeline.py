@@ -324,8 +324,7 @@ _CENTS_SQL = (
 )
 
 
-@_q(
-    "ann_ivf_topk",
+_IVF_TOPK_SQL = (
     "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
     f"{_CENTS_SQL}, "
     "probe AS (SELECT label FROM cents "
@@ -340,17 +339,15 @@ _CENTS_SQL = (
     "SELECT vec_id, round(CAST(list_cosine_similarity(embedding, "
     "(SELECT qv FROM q)) AS DOUBLE), 5) AS cos_sim "
     "FROM assigned WHERE list_id IN (SELECT label FROM probe) "
-    "ORDER BY cos_sim DESC, vec_id LIMIT 10",
+    "ORDER BY cos_sim DESC, vec_id LIMIT 10"
 )
-def ann_ivf_topk(spark, sf):
-    """IVF ANN, JVM-only: the coarse quantizer is the per-label mean
-    embedding (deterministic, SQL-expressible — the k-means sibling with
-    a driver-side sampled quantizer lives in operators/similarity.py),
-    every vector is assigned to its nearest centroid, and the exact
-    cosine top-k runs over the ``n_probe`` nearest lists only. At scale
-    ``list_id`` partitions the corpus: n_probe/n_lists of the data is
-    read, nothing else."""
-    emb = _t(spark, sf, "embeddings")
+
+
+def _label_mean_centroids(emb):
+    """Per-label mean embeddings, rounded like the SQL oracle's
+    ``round(avg(x), 6)`` — the deterministic coarse quantizer both IVF
+    variants share. Returns a (n_labels, dim) float64 matrix whose row
+    index IS the label (labels are contiguous from 0)."""
     cent_rows = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
@@ -362,6 +359,24 @@ def ann_ivf_topk(spark, sf):
         cents.setdefault(int(r["label"]), [0.0] * _EMB_DIM)[int(r["pos"])] = float(
             r["c"]
         )
+    import numpy as np
+
+    return np.asarray([cents[l] for l in sorted(cents)], dtype=np.float64)
+
+
+@_q("ann_ivf_topk", _IVF_TOPK_SQL)
+def ann_ivf_topk(spark, sf):
+    """IVF ANN, JVM-only: the coarse quantizer is the per-label mean
+    embedding (deterministic, SQL-expressible — the k-means sibling with
+    a driver-side sampled quantizer lives in operators/similarity.py),
+    every vector is assigned to its nearest centroid, and the exact
+    cosine top-k runs over the ``n_probe`` nearest lists only. At scale
+    ``list_id`` partitions the corpus: n_probe/n_lists of the data is
+    read, nothing else."""
+    emb = _t(spark, sf, "embeddings")
+    cents = {
+        l: list(row) for l, row in enumerate(_label_mean_centroids(emb))
+    }
     qv = [
         float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
@@ -408,6 +423,32 @@ def ann_ivf_topk(spark, sf):
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@_q("ann_ivf_indexed_topk", _IVF_TOPK_SQL)
+def ann_ivf_indexed_topk(spark, sf):
+    """The AT-REST serving path of ``ann_ivf_topk``: AnnIndex.build_ivf
+    assigns every vector to its nearest per-label-mean centroid ONCE and
+    writes the corpus hive-partitioned by ``list_id``; the query computes
+    the ``n_probe`` nearest lists driver-side from the saved centroid
+    matrix (KBs of numpy) and issues a partition-pruned read + exact
+    cosine rerank. Same quantizer, same probe order, bit-identical to
+    ``ann_ivf_topk``, same DuckDB oracle — the IVF twin of
+    ``ann_lsh_indexed_topk``."""
+    import tempfile
+
+    from ethereum_raw_data_crawler_spark.operators.similarity import AnnIndex
+
+    emb = _t(spark, sf, "embeddings")
+    cents = _label_mean_centroids(emb)
+    qv = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    root = tempfile.mkdtemp(prefix="ann_ivf_idx_")
+    idx = AnnIndex.build_ivf(
+        emb.where(F.col("vec_id") != 0), root, centroids=cents
+    )
+    return idx.topk(spark, qv, k=10, n_probe=_N_PROBE)
 
 
 # --------------------------------------------------------------------------

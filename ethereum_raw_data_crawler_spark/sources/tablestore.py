@@ -302,7 +302,9 @@ class SnapshotStore:
             for frag in tt["fragments"]
         ]
         unmapped = [f for f in hit_files if not any(f.startswith(m) for m in markers)]
-        assert not unmapped, f"matched files outside known fragments: {unmapped}"
+        if unmapped:  # a bare assert would vanish under python -O and let
+            # n_deleted over-report deletions never performed
+            raise RuntimeError(f"matched files outside known fragments: {unmapped}")
         kept: list[dict] = []
         for frag in tt["fragments"]:
             if not _hit(frag):

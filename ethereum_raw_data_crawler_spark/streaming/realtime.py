@@ -116,7 +116,10 @@ def run_hybrid(
     Each tick drains the stream via the persistent checkpoint; an empty
     drain IS the staleness signal (batch-mode analogue of the reference's
     lastBlockTime staleness monitor). Returns the per-tick dispatch log:
-    ``{"tick", "mode": realtime|polling|idle, "rounds": [...]}``.
+    ``{"tick", "mode": realtime|polling|backoff|idle, "rounds": [...]}`` —
+    ``backoff`` = every pending row was skip-blocked, so the tick committed
+    an empty round purely to advance the logical clock (skip windows are
+    round-denominated; without the empty round they would never expire).
     ``on_tick(t)`` lets tests inject pushes mid-run."""
     log: list[dict] = []
     for t in range(ticks):
@@ -133,9 +136,17 @@ def run_hybrid(
                     "rounds": [s["round"] for s in stats],
                 }
             )
-        elif engine.pending_count() > 0:
+        elif engine.eligible_count(engine.store.round + 1) > 0:
             s = engine.run_round(engine.store.round + 1)
             log.append({"tick": t, "mode": "polling", "rounds": [s["round"]]})
+        elif engine.pending_count() > 0:
+            # every pending row is inside a retry-skip window: nothing to
+            # pop, but rounds ARE the logical clock, so an empty round must
+            # still commit or the skip windows would never expire and the
+            # crawl would idle forever. Reported as its own mode so the
+            # dispatch log doesn't claim work happened.
+            s = engine.run_round(engine.store.round + 1)
+            log.append({"tick": t, "mode": "backoff", "rounds": [s["round"]]})
         else:
             log.append({"tick": t, "mode": "idle", "rounds": []})
     return log

@@ -57,7 +57,7 @@ def test_lsh_index_matches_inline_and_prunes(spark, tmp_path):
     assert read <= probes  # every file read belongs to a probed partition
     on_disk = {
         int(d.split("=")[1])
-        for d in os.listdir(tmp_path / "lsh" / "data")
+        for d in os.listdir(os.path.join(idx.vdir, "data"))
         if d.startswith("bucket=")
     }
     # the index genuinely holds unprobed partitions that were NOT read
@@ -88,10 +88,106 @@ def test_ivf_index_matches_inline_and_prunes(spark, tmp_path):
     assert read <= probes
     on_disk = {
         int(d.split("=")[1])
-        for d in os.listdir(tmp_path / "ivf" / "data")
+        for d in os.listdir(os.path.join(idx.vdir, "data"))
         if d.startswith("list_id=")
     }
     assert read < on_disk
+
+
+def test_ivf_index_with_supplied_centroids_matches_and_prunes(spark, tmp_path):
+    """The registered ann_ivf_indexed_topk path: build_ivf with the
+    per-label-mean centroid matrix (the SQL-oracled quantizer) must
+    assign, probe, and rerank identically to the inline per-label-mean
+    query — through a partition-pruned read."""
+    import numpy as np
+
+    from ethereum_raw_data_crawler_spark.queries_pipeline import (
+        _N_PROBE,
+        _label_mean_centroids,
+        ann_ivf_topk,
+    )
+
+    emb, query = _query_vec(spark)
+    cents = _label_mean_centroids(emb)
+    idx = AnnIndex.build_ivf(
+        emb.where(F.col("vec_id") != 0), str(tmp_path / "ivfc"), centroids=cents
+    )
+    assert idx.meta["n_lists"] == cents.shape[0]
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in idx.topk(spark, query, k=10, n_probe=_N_PROBE).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_ivf_topk(spark, SF).collect()
+    ]
+    assert got == want
+    read = _read_partitions(
+        idx.candidates(spark, query, n_probe=_N_PROBE), "list_id"
+    )
+    assert read <= set(idx.probes(query, n_probe=_N_PROBE))
+    on_disk = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(idx.vdir, "data"))
+        if d.startswith("list_id=")
+    }
+    assert read < on_disk  # genuinely pruned
+    assert np.array_equal(idx.model, cents)  # quantizer persisted intact
+
+
+def test_rebuild_commit_protocol_survives_mid_rebuild_crash(spark, tmp_path):
+    """AnnIndex follows the store's snapshot commit discipline: a rebuild
+    that dies anywhere before the pointer swap leaves the PRIOR index
+    fully readable, and versions are time-travelable after a successful
+    rebuild."""
+    import pytest
+
+    emb, query = _query_vec(spark)
+    root = str(tmp_path / "versioned")
+    idx1 = AnnIndex.build_lsh(emb, root, dim=len(query), n_planes=4)
+    assert idx1.version == 1
+    want = [
+        (r["vec_id"], r["cos_sim"]) for r in idx1.topk(spark, query, k=5).collect()
+    ]
+
+    # crash mid-rebuild: the data files of v2 are on disk but the commit
+    # pointer was never swapped (np.save dies = any pre-publish failure)
+    import numpy as np
+
+    real_save = np.save
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before publish")
+
+    np.save = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            AnnIndex.build_lsh(emb, root, dim=len(query), n_planes=8)
+    finally:
+        np.save = real_save
+
+    # a fresh reader (new-process analogue) still sees v1, bit-identical
+    reopened = AnnIndex(root)
+    assert reopened.version == 1
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in reopened.topk(spark, query, k=5).collect()
+    ]
+    assert got == want
+
+    # a successful rebuild reclaims the orphaned, never-committed v2
+    # (versions only advance at publish, so a committed version is never
+    # reused and the half-written files are fully overwritten)...
+    idx2 = AnnIndex.build_lsh(emb, root, dim=len(query), n_planes=4)
+    assert idx2.version == 2
+    assert AnnIndex(root).version == 2
+    # ...and v1 remains readable by explicit version = time travel
+    old = AnnIndex(root, version=1)
+    got_old = [
+        (r["vec_id"], r["cos_sim"])
+        for r in old.topk(spark, query, k=5).collect()
+    ]
+    assert got_old == want
 
 
 def test_index_reopens_from_disk(spark, tmp_path):

@@ -130,6 +130,49 @@ def test_hybrid_dispatch_falls_back_and_recovers(spark, t1_tables, tmp_path):
     assert len(urls) == len(set(urls))
 
 
+def test_hybrid_backoff_tick_expires_skip_windows(spark, t1_tables, tmp_path):
+    """A tick where every pending row is skip-blocked must not report
+    'polling' for an empty round — but it MUST still commit a round,
+    because rounds are the logical clock that expires skip_until. The
+    dispatch log calls these ticks out as mode 'backoff'; once the window
+    expires, polling resumes and the retry succeeds."""
+    from ethereum_raw_data_crawler_spark.streaming.realtime import run_hybrid
+
+    tabs = t1_tables
+    relaxed = tabs["politeness"].copy()
+    relaxed["budget_per_round"] = 50
+    failures = pd.DataFrame(
+        {
+            "url_canon": ["https://host1.example/p/0"],
+            "fail_attempts": [[1]],  # attempt 1 fails, attempt 2 succeeds
+            "error_class": [None],
+        }
+    )
+    eng = CrawlEngine.create(
+        spark,
+        str(tmp_path / "store"),
+        spark.createDataFrame(tabs["pages"]),
+        spark.createDataFrame(
+            pd.DataFrame({"url": ["https://host1.example/p/0"], "priority": [0]})
+        ),
+        spark.createDataFrame(tabs["robots"]),
+        spark.createDataFrame(relaxed),
+        spark.createDataFrame(failures),
+        # max_retries=1: the single failure opens a skip window
+        # [round+1, round+skip_rounds] immediately
+        CrawlConfig(batch_size=10, priority_cap=0, max_retries=1, skip_rounds=2),
+    )
+    eng.run(max_rounds=1)  # round 1: pop -> fail -> skip_until = 3
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    log = run_hybrid(spark, eng, stream_dir, ticks=3)
+    assert [e["mode"] for e in log] == ["backoff", "polling", "idle"]
+    # the backoff tick advanced the round clock without claiming work
+    assert log[0]["rounds"] == [2] and log[1]["rounds"] == [3]
+    trace = [r["url_canon"] for r in eng.read_trace().collect()]
+    assert trace == ["https://host1.example/p/0"]  # retried exactly once
+
+
 def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     """Watermarked tumbling-window stream agg == batch agg once all data
     arrived (the metricsWorker recast, SURVEY §2.8)."""

@@ -89,6 +89,14 @@ def main() -> None:
                 ["cp", "-a", template, os.path.join(root, "store")], check=True
             )
             eng = CrawlEngine.resume(spark, os.path.join(root, "store"))
+            # resume loads cfg from the template's config.json — a template
+            # built with a different batch would silently bench the wrong
+            # configuration, so fail loudly instead
+            if eng.cfg.batch_size != batch:
+                raise SystemExit(
+                    f"template batch_size={eng.cfg.batch_size} != --batch "
+                    f"{batch}: rebuild the template or pass the matching batch"
+                )
         else:
             build_root = template if template else root
             eng = CrawlEngine.create(
