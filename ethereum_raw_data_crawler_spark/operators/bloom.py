@@ -28,6 +28,29 @@ executor-side Spark jobs end to end:
     holds — a 10^10-key / ~12 GB seen-set never materializes on the
     driver and never broadcasts.
 
+Sizing math (why the defaults scale; see ``buckets_for``). At FPR p the
+optimal bitmap spends ``-ln(p)/ln(2)^2`` bits per key — **9.59 bits ≈
+1.2 bytes per URL at the default p = 0.01** (k = 7 probes). Total
+bitmap bytes and the bucket count that keeps any ONE bucket's file
+comfortably inside a single task's memory (128 MB target):
+
+    expected keys   total bitmap   buckets (>= 64 floor)   bytes/bucket
+    10^6            1.2 MB         64                      ~19 KB
+    10^8            120 MB         64                      ~1.9 MB
+    10^9            1.2 GB         64                      ~19 MB
+    10^10           12 GB          90                      128 MB
+    10^11           120 GB         893                     128 MB
+
+``CrawlEngine.create`` defaults ``bloom_buckets`` from ``expected_keys``
+(seeds × a 16× discovery-growth allowance when not given) via exactly
+this table, so a 10^10-URL deployment starts with ~94 buckets instead
+of 64 oversized ones. The bucket count is FIXED for the store's
+lifetime (the bucket of a key must never change or probes would read
+the wrong bitmap); headroom beyond the estimate comes from per-bucket
+GROWTH — a saturated bucket rebuilds alone at the next power-of-two
+size — so an estimate that is low by even 100× degrades into larger
+per-bucket files (amortized rebuilds), never into false negatives.
+
 Vectorized numpy throughout (Arrow batches in mapInPandas — no per-row
 Python).
 """
@@ -220,6 +243,21 @@ class PartitionedBloom:
         os.makedirs(pb.dir, exist_ok=True)
         pb._write_meta(rnd)
         return pb
+
+    @staticmethod
+    def buckets_for(
+        expected_keys: int,
+        fpr: float = 0.01,
+        target_bucket_bytes: int = 128 << 20,
+    ) -> int:
+        """Bucket count for a design capacity: enough buckets that one
+        bucket's bitmap (at ``-ln(fpr)/ln(2)^2`` bits/key) stays within
+        ``target_bucket_bytes`` — one task comfortably holds one bucket —
+        with a floor of 64 for probe/repartition parallelism. See the
+        module docstring's sizing table."""
+        bits_per_key = -math.log(fpr) / (math.log(2) ** 2)
+        total_bytes = expected_keys * bits_per_key / 8
+        return max(64, math.ceil(total_bytes / target_bucket_bytes))
 
     @classmethod
     def latest_round(cls, store_root: str) -> int | None:

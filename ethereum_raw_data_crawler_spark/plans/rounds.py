@@ -101,6 +101,7 @@ class CrawlEngine:
         compact_every: int = 8,
         egress_dir: str | None = None,
         bloom_buckets: int = 64,
+        compact_debt_frac: float = 0.15,
     ) -> None:
         from ethereum_raw_data_crawler_spark.deploy import ship_package
 
@@ -113,11 +114,21 @@ class CrawlEngine:
         self.prune_pop = prune_pop
         self.compact_every = compact_every
         self.bloom_buckets = bloom_buckets
-        # health-ACTED threshold: compact as soon as the frontier's
-        # accumulated delete set would stop broadcasting (the point where
-        # every subsequent MOR read pays a shuffle join), instead of only
-        # on the blind rnd % compact_every schedule
-        self.compact_delete_rows: int = SnapshotStore.BROADCAST_DELETE_MAX
+        # health-ACTED threshold, RELATIVE: the frontier is compacted when
+        # its accumulated delete set reaches this fraction of the base
+        # fragment rows (both straight from parquet footers). Relative,
+        # not absolute, because compaction cost is O(base rows): at a
+        # 10^10-row frontier an absolute threshold of one batch's deletes
+        # would rewrite the whole frontier EVERY round, while a fraction
+        # amortizes the rewrite to O(batch / frac) rows per round. The
+        # read path needs no trigger at all — SnapshotStore.read already
+        # degrades gracefully past BROADCAST_DELETE_MAX (shuffle join
+        # instead of broadcast), so the only question is amortized rewrite
+        # cost, which is what the fraction controls.
+        self.compact_debt_frac: float = compact_debt_frac
+        # cache the corpus-join hit set (html included) below this popped
+        # count; recompute slim branches above it (see run_round)
+        self.HITS_CACHE_MAX: int = 2_000_000
         self._bloom: PartitionedBloom | None = None
         self._dims: dict[str, DataFrame] = {}
         self._scratch: list[DataFrame] = []
@@ -144,8 +155,18 @@ class CrawlEngine:
         """Job init (reference: cmd/schedulers/main.go:112-175 OnStart):
         create tables, land the corpus + dims, seed the frontier (round 0)."""
         cfg = cfg or CrawlConfig()
+        expected_keys = kw.pop("expected_keys", None)
+        auto_buckets = "bloom_buckets" not in kw
         SnapshotStore.create(store_root, _TABLES)
         eng = cls(spark, store_root, cfg, **kw)
+        if eng.use_bloom:
+            if expected_keys is None:
+                # design capacity of the seen-set: seeds × a discovery
+                # growth allowance. Per-bucket growth absorbs overshoot;
+                # this only sizes the STARTING bitmaps + bucket count.
+                expected_keys = max(int(seeds.count()) * 16, 1 << 20)
+            if auto_buckets:
+                eng.bloom_buckets = PartitionedBloom.buckets_for(expected_keys)
         with open(os.path.join(store_root, "config.json"), "w") as fh:
             json.dump(
                 {
@@ -156,12 +177,15 @@ class CrawlEngine:
                     "compact_every": eng.compact_every,
                     "egress_dir": kw.get("egress_dir"),
                     "bloom_buckets": eng.bloom_buckets,
+                    "compact_debt_frac": eng.compact_debt_frac,
                 },
                 fh,
             )
         if eng.use_bloom:
             eng._bloom = PartitionedBloom.create(
-                store_root, n_buckets=eng.bloom_buckets
+                store_root,
+                n_buckets=eng.bloom_buckets,
+                expected_keys=expected_keys,
             )
         txn = eng.store.transaction(-1)
         # canonicalize the corpus ONCE; bucket by url_hash for fetch-time
@@ -226,6 +250,7 @@ class CrawlEngine:
             compact_every=saved["compact_every"],
             egress_dir=saved.get("egress_dir"),
             bloom_buckets=saved.get("bloom_buckets", 64),
+            compact_debt_frac=saved.get("compact_debt_frac", 0.15),
         )
         if eng._egress is not None:
             # publish-after-commit redelivery: any round committed before
@@ -546,6 +571,25 @@ class CrawlEngine:
             phases[name] = int((now - _last[0]) * 1000)
             _last[0] = now
 
+        # health-ACTED recovery, applied LAZILY at the next round start
+        # (reference: performHealthCheck observes, the recovery acts on the
+        # next cycle, crawler_service.go:820-907): if the delete debt the
+        # previous round's gauge recorded is a sizable fraction of the base
+        # rows, rewrite the frontier NOW — the rewrite immediately pays for
+        # itself in this round's pop read, and a crawl that ENDED on a
+        # debt-heavy round never pays an O(frontier) rewrite it would never
+        # benefit from. The transaction commits under the LAST completed
+        # round so a crash between this compaction and this round's commit
+        # resumes at this round, not past it. Footer row counts only — no
+        # Spark job when the debt is below threshold.
+        t_frontier = self.store.manifest()["tables"]["frontier"]
+        if t_frontier["deletes"]:
+            base_rows = self.store.fragment_rows(t_frontier["fragments"])
+            debt_rows = self.store.fragment_rows(t_frontier["deletes"])
+            if base_rows and debt_rows >= self.compact_debt_frac * base_rows:
+                self.store.compact(self.spark, "frontier", FRONTIER, rnd - 1)
+        tick("precompact")
+
         frontier = self.frontier()
         eligible = frontier.where(
             (F.col("status") == STATUS_PENDING)
@@ -604,6 +648,16 @@ class CrawlEngine:
                 )
                 .withColumn("partition_id", F.spark_partition_id())
             )
+            # batch-size-gated materialization strategy: below ~2M popped
+            # rows the html of the hit set fits executor memory twice, and
+            # caching hits means the failed/miss branches and the parse
+            # all reuse one corpus join (the fast small-batch plan). Above
+            # that, a second multi-GB html cache is what made 32
+            # concurrent tasks spill where 8 did not — leave hits lazy and
+            # let the failed/miss branches recompute SLIM (column pruning
+            # keeps html out of those scans).
+            if n_popped <= self.HITS_CACHE_MAX:
+                hits = hits.cache()
             hit_keys = hits.select("url_canon")
             if n_popped <= 100_000:
                 hit_keys = F.broadcast(hit_keys)
@@ -645,13 +699,12 @@ class CrawlEngine:
                 ),
             )
 
-        # THE round's one heavy materialization: the fetched rows with
-        # their parse results. html crosses the Arrow socket once and is
-        # cached once; hits stays UNcached — its failed/miss branches are
-        # recomputed slim (column pruning keeps html out of those scans),
-        # which costs a narrow join instead of a second 10^7-row html
-        # cache competing for executor memory (the thing that made 32
-        # concurrent tasks spill where 8 did not).
+        # the round's heavy materialization: the fetched rows with their
+        # parse results. html crosses the Arrow socket once and is cached
+        # once. Whether hits was ALSO cached is the HITS_CACHE_MAX gate
+        # above: small batches reuse one corpus join everywhere, large
+        # batches recompute the slim branches instead of spilling a second
+        # 10^7-row html cache.
         extracted_base = fetched.withColumn(
             "ext", extract_page_udf("html", "url_canon")
         ).cache()
@@ -846,58 +899,83 @@ class CrawlEngine:
         sat = (
             self._bloom.estimated_saturation() if self._bloom is not None else 0.0
         )
-        # frontier delete debt AFTER this commit = debt before + this
-        # round's delete fragment (= the popped keys) — parquet footers
-        # only, no job. This gauge is ACTED on below (reference acts on
-        # degraded health with a recovery attempt, crawler_service.go:
-        # 820-907): past the threshold the frontier is compacted NOW.
-        del_rows = self.store.fragment_rows(
-            self.store.manifest()["tables"]["frontier"]["deletes"]
-        ) + (n_popped if n_popped else 0)
+        # frontier delete DEBT RATIO after this commit: (debt before + this
+        # round's delete fragment) / (base rows after this commit), both
+        # sides from parquet footers + counts already in hand — no job.
+        # This gauge is ACTED on at the START of the next round (see
+        # run_round's precompact): past compact_debt_frac the frontier is
+        # rewritten before the next pop reads it. Relative, so a round's
+        # debt only triggers an O(frontier) rewrite when it is actually
+        # worth O(frontier) — never every round at production scale.
+        tf = self.store.manifest()["tables"]["frontier"]
+        debt_rows = self.store.fragment_rows(tf["deletes"]) + n_popped
+        base_rows = (
+            self.store.fragment_rows(tf["fragments"])
+            + n_popped
+            + disc_stats["discovered"]
+        )
+        debt_ratio = (debt_rows / base_rows) if base_rows else 0.0
         health_rows = [
             (rnd, "store", True, float(self.store.manifest()["version"]), "manifest version"),
             (rnd, "bloom", sat < 0.5, float(sat), "bitmap saturation"),
             (rnd, "fetch", err_frac < 0.5, float(err_frac), "error fraction"),
             (rnd, "scheduler", True, float(wall_ms), "round wall ms"),
-            (rnd, "frontier", del_rows < self.compact_delete_rows, float(del_rows),
-             "delete-set rows pending compaction"),
+            (rnd, "frontier", debt_ratio < self.compact_debt_frac,
+             float(debt_ratio), "frontier delete debt / base rows"),
         ]
         health_pdf = pd.DataFrame(health_rows, columns=[f.name for f in HEALTH.fields])
 
+        # per-sink timers inside the commit phase (writes are eager, the
+        # manifest swap is last): phases_ms carries the split so a slow
+        # commit is attributable to a sink, not guessed at
+        def timed(name: str, fn) -> None:
+            t = time.monotonic()
+            fn()
+            phases[f"commit_{name}"] = int((time.monotonic() - t) * 1000)
+
         txn = self.store.transaction(rnd)
-        txn.append("pages_out", pages_out)
+        timed("pages", lambda: txn.append("pages_out", pages_out))
         if disc_stats["discovered"]:
             # a discovery-free round (fully-seeded production shape) skips
             # the empty fragment AND its write job
-            txn.append("seen", new_seen.coalesce(parts(disc_stats["discovered"])))
+            timed(
+                "seen",
+                lambda: txn.append(
+                    "seen", new_seen.coalesce(parts(disc_stats["discovered"]))
+                ),
+            )
         txn.append_pandas("metrics", metrics_pdf, METRICS)
         if "health" in txn.manifest["tables"]:  # stores created pre-§10
             txn.append_pandas("health", health_pdf, HEALTH)
-        txn.upsert(
+        timed(
             "frontier",
-            "url_canon",
-            frontier_new.coalesce(parts(n_popped + disc_stats["discovered"])),
-            delete_keys,
+            lambda: txn.upsert(
+                "frontier",
+                "url_canon",
+                frontier_new.coalesce(parts(n_popped + disc_stats["discovered"])),
+                delete_keys,
+            ),
         )
         txn.commit()
-        self._bloom_add_from_seen_fragment(rnd)
+        timed("bloom", lambda: self._bloom_add_from_seen_fragment(rnd))
         if self._egress is not None:
             # strictly after the manifest swap (publish-after-save,
             # crawler_service.go:592-607): reads the COMMITTED snapshot
             self._egress.emit_round(self.spark, self.store, rnd)
         tick("commit")
 
-        # compaction: scheduled (rnd % compact_every) OR health-triggered —
-        # the delete-set gauge above crossed the broadcast threshold, so
-        # every further round would pay a shuffled MOR join. Act now.
-        if (self.compact_every and rnd % self.compact_every == 0) or (
-            del_rows >= self.compact_delete_rows
-        ):
+        # scheduled compaction only (rnd % compact_every). The
+        # health-triggered compaction is handled lazily at the start of
+        # the NEXT round (precompact above) so a crawl's final round — or
+        # a benchmark's only round — never pays an O(frontier) rewrite
+        # whose benefit nobody reads.
+        if self.compact_every and rnd % self.compact_every == 0:
             self.store.compact(self.spark, "frontier", FRONTIER, rnd)
         tick("compact")
 
-        for df in (popped, extracted_base, discovered):
-            df.unpersist()  # no-op for the never-cached large-k popped
+        for df in (popped, hits, extracted_base, discovered):
+            df.unpersist()  # no-op for never-cached frames (large-k popped,
+            # large-batch hits)
         self._drain_scratch()
         return {
             "round": rnd,

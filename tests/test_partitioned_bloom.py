@@ -260,3 +260,61 @@ def test_bloom_load_estimates_n_added_for_legacy_snapshot(tmp_path):
     loaded = BloomFilter.load(legacy)
     assert loaded.n_added > 0
     assert loaded.should_grow()
+
+
+# ------------------------------------------------ capacity-driven sizing
+
+
+def test_buckets_for_scales_with_expected_keys():
+    """The bucket-count default follows the module docstring's sizing
+    table: ~1.2 bytes/URL at fpr 0.01, one bucket's bitmap capped at a
+    single task's working size, floor 64."""
+    from ethereum_raw_data_crawler_spark.operators.bloom import PartitionedBloom
+
+    assert PartitionedBloom.buckets_for(10**6) == 64
+    assert PartitionedBloom.buckets_for(10**9) == 64
+    assert PartitionedBloom.buckets_for(10**10) == 90
+    assert PartitionedBloom.buckets_for(10**11) == 893
+    # a bucket file never exceeds the target
+    for n in (10**9, 10**10, 10**11):
+        b = PartitionedBloom.buckets_for(n)
+        per_bucket_bytes = n * 9.585 / 8 / b
+        assert per_bucket_bytes <= (128 << 20) + 1
+
+
+def test_engine_create_defaults_buckets_from_expected_keys(
+    spark, t1_tables, tmp_path
+):
+    """CrawlEngine.create sizes the partitioned Bloom from the declared
+    design capacity instead of a flat 64."""
+    from ethereum_raw_data_crawler_spark.config import CrawlConfig
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+
+    tabs = t1_tables
+    eng = CrawlEngine.create(
+        spark,
+        str(tmp_path / "store"),
+        spark.createDataFrame(tabs["pages"]),
+        spark.createDataFrame(tabs["seeds"]),
+        spark.createDataFrame(tabs["robots"]),
+        spark.createDataFrame(tabs["politeness"]),
+        None,
+        CrawlConfig(batch_size=10),
+        expected_keys=10**10,
+    )
+    assert eng.bloom_buckets == 90
+    assert eng._bloom.n_buckets == 90
+    # an explicit bloom_buckets always wins over the derivation
+    eng2 = CrawlEngine.create(
+        spark,
+        str(tmp_path / "store2"),
+        spark.createDataFrame(tabs["pages"]),
+        spark.createDataFrame(tabs["seeds"]),
+        spark.createDataFrame(tabs["robots"]),
+        spark.createDataFrame(tabs["politeness"]),
+        None,
+        CrawlConfig(batch_size=10),
+        expected_keys=10**10,
+        bloom_buckets=8,
+    )
+    assert eng2._bloom.n_buckets == 8
