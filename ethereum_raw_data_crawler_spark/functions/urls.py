@@ -143,7 +143,9 @@ def canonicalize_url(url: str | None) -> str | None:
         path = m.group(3)
         if path is None:
             return url + "/"
-        if "/." not in path or not _DOT_SEG.search(path):
+        if ("/." not in path or not _DOT_SEG.search(path)) and not path.endswith(
+            ";"
+        ):
             return url
     url = url.strip()
     if not url:
@@ -167,6 +169,14 @@ def canonicalize_url(url: str | None) -> str | None:
         netloc = f"{host}:{port}"
 
     path = _normalize_percent(_remove_dot_segments(parts.path))
+    # empty trailing matrix params: RFC-1808 parsers (urllib's urljoin /
+    # urlunparse) silently drop a bare trailing ';' from the last path
+    # segment, so "/a;" and "/a" alias the same resource depending on
+    # whether a URL passed through a join. Strip ALL trailing ';' here —
+    # idempotent, and it absorbs urljoin's one-shot drop, keeping
+    # canonicalize(urljoin(base, abs_href)) == canonicalize(abs_href)
+    # (the premise of extract_page's absolute-href urljoin skip).
+    path = path.rstrip(";")
     if not path:
         path = "/"
 
