@@ -27,6 +27,15 @@ from __future__ import annotations
 import re
 from urllib.parse import urlsplit
 
+# Version of the canonicalization RULES (not the code). Bump whenever a
+# change alters the canonical form of ANY url: url_hash values derive
+# from the canonical string, so a store resumed under different rules
+# would silently treat previously-seen urls as new (re-crawl/duplicate
+# frontier rows). The store stamps this into config.json at create and
+# refuses to resume under a different version (plans/rounds.py).
+#   v2: trailing ';' stripped from paths (urljoin parity, round 4).
+CANON_VERSION = 2
+
 _UNRESERVED = set(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )

@@ -228,7 +228,14 @@ class AnnIndex:
 
         self.root = root
         if version is None:
-            with open(os.path.join(root, self.POINTER)) as fh:
+            ptr = os.path.join(root, self.POINTER)
+            if not os.path.exists(ptr) and os.path.exists(
+                os.path.join(root, "meta.json")
+            ):
+                # legacy flat layout (pre-versioning): auto-migrate into
+                # v-000001 + pointer so persisted indexes stay readable
+                self._migrate_flat(root)
+            with open(ptr) as fh:
                 version = int(json.load(fh)["version"])
         self.version = version
         self.vdir = os.path.join(root, f"v-{version:06d}")
@@ -238,11 +245,30 @@ class AnnIndex:
 
     # ---- commit protocol (shared by both builders) ----------------------
     @classmethod
+    def _migrate_flat(cls, root: str) -> None:
+        """One-time upgrade of a pre-versioning flat index (meta.json /
+        model.npy / data at the root) into v-000001 + pointer."""
+        import os
+        import shutil
+
+        vdir = os.path.join(root, "v-000001")
+        os.makedirs(vdir, exist_ok=True)
+        for name in ("data", "meta.json", "model.npy"):
+            src = os.path.join(root, name)
+            if os.path.exists(src):
+                shutil.move(src, os.path.join(vdir, name))
+        cls._publish(root, 1)
+
+    @classmethod
     def _begin_version(cls, root: str) -> tuple[int, str]:
         """Allocate the next version directory. Nothing a reader can see
-        changes until ``_publish`` swaps the pointer."""
+        changes until ``_publish`` swaps the pointer. A leftover directory
+        at this version number is an orphan from a crashed build — its
+        contents are garbage by definition (never published), so it is
+        cleared before reuse."""
         import json
         import os
+        import shutil
 
         os.makedirs(root, exist_ok=True)
         try:
@@ -252,13 +278,16 @@ class AnnIndex:
             cur = 0
         v = cur + 1
         vdir = os.path.join(root, f"v-{v:06d}")
-        os.makedirs(vdir, exist_ok=True)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
+        os.makedirs(vdir)
         return v, vdir
 
     @classmethod
     def _publish(cls, root: str, version: int) -> None:
         """The commit point: one atomic rename, same as the store's
-        manifest swap."""
+        manifest swap. GC runs after the swap (same placement as
+        PartitionedBloom.commit -> _gc, bloom.py)."""
         import json
         import os
         import uuid
@@ -267,6 +296,39 @@ class AnnIndex:
         with open(tmp, "w") as fh:
             json.dump({"version": version}, fh)
         os.replace(tmp, os.path.join(root, cls.POINTER))
+        cls._gc(root)
+
+    @classmethod
+    def _gc(cls, root: str, keep: int = 2) -> None:
+        """Reclaim version directories nothing can read anymore — the
+        mirror of ``PartitionedBloom._gc`` (operators/bloom.py): keep the
+        newest ``keep`` PUBLISHED versions (pointer + one step of time
+        travel) and drop (a) published versions older than that and
+        (b) unpublished orphans ABOVE the pointer left by a crashed
+        build. At 100 TB an index version is the corpus — leaking one per
+        crash/rebuild is the difference between bounded and unbounded
+        storage. Numeric sort on the parsed version (same rationale as
+        the Bloom meta sort: zero padding eventually overflows)."""
+        import json
+        import os
+        import re
+        import shutil
+
+        try:
+            with open(os.path.join(root, cls.POINTER)) as fh:
+                cur = int(json.load(fh)["version"])
+        except FileNotFoundError:
+            return  # nothing published yet — a build may be in flight
+        versions = sorted(
+            int(m.group(1))
+            for f in os.listdir(root)
+            if (m := re.fullmatch(r"v-(\d+)", f))
+        )
+        published = [v for v in versions if v <= cur]
+        live = set(published[-keep:])
+        for v in versions:
+            if v not in live:
+                shutil.rmtree(os.path.join(root, f"v-{v:06d}"), ignore_errors=True)
 
     # ---- build (once per corpus version) --------------------------------
     @classmethod
@@ -368,6 +430,74 @@ class AnnIndex:
             )
         cls._publish(root, version)
         return cls(root)
+
+    # ---- incremental refresh (O(batch), not O(corpus)) ------------------
+    def append(self, new_embeddings: DataFrame) -> "AnnIndex":
+        """Add a batch of vectors WITHOUT rewriting the corpus — the
+        index analogue of the reference's per-batch upsert
+        (transaction_repository_impl.go:109-172: each crawl batch lands
+        incrementally, nothing reprocesses history).
+
+        Protocol: allocate the next version dir, HARD-LINK the current
+        version's immutable parquet files into it (metadata-only — the
+        single-filesystem stand-in for manifest/file reuse in Iceberg,
+        where a new snapshot lists old data files instead of copying
+        them), tag ONLY the new vectors with the SAVED quantizer
+        (model.npy — the model is frozen, so old assignments stay valid
+        by construction), append those delta files under the same
+        hive-partition layout, then republish the pointer. Cost is
+        O(batch) data + O(#files) metadata; a full rebuild is O(corpus).
+
+        Readers are never disturbed: the pointer flips atomically from
+        one complete version to the next, and time travel to the
+        pre-append version keeps working."""
+        import json
+        import os
+        import shutil
+
+        version, vdir = self._begin_version(self.root)
+        src_data = os.path.join(self.vdir, "data")
+        dst_data = os.path.join(vdir, "data")
+        for dirpath, _dirnames, filenames in os.walk(src_data):
+            rel = os.path.relpath(dirpath, src_data)
+            tgt = os.path.join(dst_data, rel) if rel != "." else dst_data
+            os.makedirs(tgt, exist_ok=True)
+            for fn in filenames:
+                try:
+                    os.link(os.path.join(dirpath, fn), os.path.join(tgt, fn))
+                except OSError:
+                    shutil.copy2(os.path.join(dirpath, fn), os.path.join(tgt, fn))
+
+        tag = self.meta["tag_col"]
+        if self.meta["kind"] == "lsh":
+            tagged = with_lsh_bucket(
+                new_embeddings, self.model, self.meta["id_col"], self.meta["vec_col"]
+            )
+        else:
+            spark = new_embeddings.sparkSession
+            bc = spark.sparkContext.broadcast(self.model)
+            vec_col = self.meta["vec_col"]
+            schema = T.StructType(
+                list(new_embeddings.schema.fields)
+                + [T.StructField("list_id", T.IntegerType(), False)]
+            )
+
+            def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    d = ((vecs[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+                    yield pdf.assign(list_id=d.argmin(axis=1).astype(np.int32))
+
+            tagged = new_embeddings.mapInPandas(assign, schema)
+        tagged.write.mode("append").partitionBy(tag).parquet(dst_data)
+
+        np.save(os.path.join(vdir, "model.npy"), self.model)
+        with open(os.path.join(vdir, "meta.json"), "w") as fh:
+            json.dump(self.meta, fh)
+        self._publish(self.root, version)
+        return AnnIndex(self.root)
 
     # ---- query (partition-pruned read + exact rerank) -------------------
     def probes(self, query_vec: list[float], n_probe: int = 4) -> list[int]:

@@ -45,6 +45,7 @@ from ethereum_raw_data_crawler_spark.functions.spark_udfs import (
     extract_page_udf,
     with_host_and_path,
 )
+from ethereum_raw_data_crawler_spark.functions.urls import CANON_VERSION
 from ethereum_raw_data_crawler_spark.operators.bloom import (
     PartitionedBloom,
     split_by_bloom,
@@ -178,6 +179,7 @@ class CrawlEngine:
                     "egress_dir": kw.get("egress_dir"),
                     "bloom_buckets": eng.bloom_buckets,
                     "compact_debt_frac": eng.compact_debt_frac,
+                    "canon_version": CANON_VERSION,
                 },
                 fh,
             )
@@ -239,6 +241,20 @@ class CrawlEngine:
         reloaded)."""
         with open(os.path.join(store_root, "config.json")) as fh:
             saved = json.load(fh)
+        # the seen-set keys on the canonical string: resuming under
+        # different canonicalization rules would re-admit previously-seen
+        # urls (url_hash drift). Stores created before the stamp existed
+        # carry no version and are accepted as-is (documented in
+        # functions/urls.py:CANON_VERSION).
+        saved_canon = saved.get("canon_version")
+        if saved_canon is not None and saved_canon != CANON_VERSION:
+            raise RuntimeError(
+                f"store was created under canonicalization rules "
+                f"v{saved_canon} but this build implements "
+                f"v{CANON_VERSION}; resuming would drift url_hash keys. "
+                f"Re-crawl into a fresh store or run a migration that "
+                f"re-canonicalizes frontier/seen/corpus url_canon columns."
+            )
         cfg = CrawlConfig(**saved["cfg"])
         eng = cls(
             spark,
@@ -968,11 +984,12 @@ class CrawlEngine:
         )
         txn.commit()
         timed("bloom", lambda: self._bloom_add_from_seen_fragment(rnd))
+        tick("commit")
         if self._egress is not None:
             # strictly after the manifest swap (publish-after-save,
             # crawler_service.go:592-607): reads the COMMITTED snapshot
             self._egress.emit_round(self.spark, self.store, rnd)
-        tick("commit")
+            tick("egress")
 
         # scheduled compaction only (rnd % compact_every). The
         # health-triggered compaction is handled lazily at the start of

@@ -361,6 +361,11 @@ def _label_mean_centroids(emb):
         )
     import numpy as np
 
+    # row index IS the label downstream (build_ivf list_id = row index);
+    # a gap would silently desynchronize list ids from the SQL oracle
+    assert sorted(cents) == list(range(len(cents))), (
+        f"labels must be contiguous from 0, got {sorted(cents)}"
+    )
     return np.asarray([cents[l] for l in sorted(cents)], dtype=np.float64)
 
 

@@ -64,6 +64,13 @@ def get_spark(
         os.makedirs(shm, exist_ok=True)
     if shm:
         builder = builder.config("spark.local.dir", shm)
+    # SPARK_GRAFT_CONF="key=value;key=value" — deploy-time conf overrides
+    # (the local-mode stand-in for spark-submit --conf); applied before
+    # `extra` so programmatic callers win
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -204,3 +204,148 @@ def test_index_reopens_from_disk(spark, tmp_path):
         for r in lsh_topk(emb, query, k=5, n_planes=4).collect()
     ]
     assert got == want
+
+
+def test_version_gc_keeps_two_and_reclaims_orphans(spark, tmp_path):
+    """The mirror of PartitionedBloom._gc for the index: publishing keeps
+    the newest TWO published versions (pointer + one step of time travel)
+    and reclaims everything older, plus any unpublished orphan directory a
+    crashed build left above the pointer."""
+    import numpy as np
+    import pytest
+
+    emb, query = _query_vec(spark)
+    root = str(tmp_path / "gc")
+    AnnIndex.build_lsh(emb, root, dim=len(query), n_planes=4)
+
+    # crash mid-build -> orphan v-000002 sits above the pointer
+    real_save = np.save
+    np.save = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            AnnIndex.build_lsh(emb, root, dim=len(query), n_planes=8)
+    finally:
+        np.save = real_save
+    assert os.path.isdir(os.path.join(root, "v-000002"))  # the leak
+
+    # next successful build reclaims the orphan (reuses its number after
+    # clearing the garbage) and publishes it
+    AnnIndex.build_lsh(emb, root, dim=len(query), n_planes=4)
+    assert AnnIndex(root).version == 2
+
+    # third build: keep=2 -> v1 is GC'd, v2 (time travel) + v3 survive
+    idx3 = AnnIndex.build_lsh(emb, root, dim=len(query), n_planes=4)
+    assert idx3.version == 3
+    vdirs = sorted(d for d in os.listdir(root) if d.startswith("v-"))
+    assert vdirs == ["v-000002", "v-000003"]
+    assert AnnIndex(root, version=2).topk(spark, query, k=3).count() == 3
+
+
+def test_legacy_flat_layout_auto_migrates(spark, tmp_path):
+    """An index persisted under the pre-versioning flat layout
+    (meta.json/model.npy/data at the root, no current.json) opens
+    transparently: AnnIndex(root) migrates it to v-000001 + pointer."""
+    import shutil
+
+    emb, query = _query_vec(spark)
+    root = str(tmp_path / "legacy")
+    idx = AnnIndex.build_lsh(emb, root, dim=len(query), n_planes=4)
+    want = [
+        (r["vec_id"], r["cos_sim"]) for r in idx.topk(spark, query, k=5).collect()
+    ]
+    # reshape to the old flat layout
+    vdir = os.path.join(root, "v-000001")
+    for name in ("data", "meta.json", "model.npy"):
+        shutil.move(os.path.join(vdir, name), os.path.join(root, name))
+    os.rmdir(vdir)
+    os.unlink(os.path.join(root, "current.json"))
+
+    migrated = AnnIndex(root)
+    assert migrated.version == 1
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in migrated.topk(spark, query, k=5).collect()
+    ]
+    assert got == want
+
+
+def _split_corpus(emb):
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    return base, delta
+
+
+def test_lsh_append_equals_full_rebuild(spark, tmp_path):
+    """append(delta) on an index built from the base corpus answers
+    queries identically to a FULL rebuild over base ∪ delta (the frozen
+    quantizer makes the assignments equal by construction), while doing
+    O(batch) work: the inherited files are hard links (same inode), not
+    copies."""
+    emb, query = _query_vec(spark)
+    base, delta = _split_corpus(emb)
+
+    root_inc = str(tmp_path / "inc")
+    idx = AnnIndex.build_lsh(base, root_inc, dim=len(query), n_planes=4)
+    v1_files = {
+        os.path.join(dp, f): os.stat(os.path.join(dp, f)).st_ino
+        for dp, _, fs in os.walk(os.path.join(idx.vdir, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    idx2 = idx.append(delta)
+    assert idx2.version == 2
+
+    root_full = str(tmp_path / "full")
+    full = AnnIndex.build_lsh(emb, root_full, dim=len(query), n_planes=4)
+
+    got = [
+        (r["vec_id"], r["cos_sim"]) for r in idx2.topk(spark, query, k=10).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"]) for r in full.topk(spark, query, k=10).collect()
+    ]
+    assert got == want
+    # same total corpus behind the index
+    assert (
+        spark.read.parquet(os.path.join(idx2.vdir, "data")).count() == emb.count()
+    )
+    # O(batch): every base file was inherited by hard link, not rewritten
+    inherited = {
+        os.path.join(dp, f): os.stat(os.path.join(dp, f)).st_ino
+        for dp, _, fs in os.walk(os.path.join(idx2.vdir, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    v1_inodes = set(v1_files.values())
+    assert v1_inodes & set(inherited.values()) == v1_inodes
+
+
+def test_ivf_append_equals_full_rebuild(spark, tmp_path):
+    """Same append ≡ rebuild equivalence for the IVF kind, with an
+    explicit (caller-supplied) quantizer so the full rebuild trains on
+    nothing — both sides share the frozen centroid matrix."""
+    import numpy as np
+
+    emb, query = _query_vec(spark)
+    base, delta = _split_corpus(emb)
+    pdf = emb.orderBy("vec_id").select("embedding").limit(200).toPandas()
+    train = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    from ethereum_raw_data_crawler_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(train, k=8)
+
+    idx = AnnIndex.build_ivf(base, str(tmp_path / "inc"), centroids=cents)
+    idx2 = idx.append(delta)
+    full = AnnIndex.build_ivf(emb, str(tmp_path / "full"), centroids=cents)
+
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in idx2.topk(spark, query, k=10, n_probe=3).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in full.topk(spark, query, k=10, n_probe=3).collect()
+    ]
+    assert got == want

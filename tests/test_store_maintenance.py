@@ -317,10 +317,10 @@ def test_relative_debt_threshold_never_compacts_small_batches(
     """The production-shape guarantee the relative trigger exists for: a
     multi-round crawl whose per-round delete debt stays below
     compact_debt_frac of the frontier never health-compacts — the
-    O(frontier) rewrite is amortized, not per-round. (The judge-visible
-    at-scale variant, batch >= 1M over a 10M frontier, runs in
-    tools/bench_compact_trigger.py; this is the same invariant at test
-    scale.)"""
+    O(frontier) rewrite is amortized, not per-round. (The at-scale
+    variant, 3 rounds x 1M batch over a 7M frontier, lives in
+    tests/test_compact_trigger_scale.py; this is the same invariant at
+    test scale.)"""
     tabs = t1_tables
     relaxed = tabs["politeness"].copy()
     relaxed["budget_per_round"] = 50
@@ -400,3 +400,47 @@ def test_assign_global_seq_large_path_is_dense_and_ordered(spark):
     assert [s for _, s in got] == list(range(n))
     # order binding: seq follows k exactly
     assert got == [(k, i) for i, k in enumerate(sorted(pdf["k"]))]
+
+
+# ------------------------------------------------- canonicalization version
+
+
+def test_resume_refuses_canon_version_drift(spark, t1_tables, tmp_path):
+    """url_hash keys derive from the canonical string, so a store written
+    under different canonicalization rules must not silently resume (it
+    would re-admit previously-seen urls). The stamp is written at create;
+    a mismatched stamp raises; an ABSENT stamp (pre-stamp store) resumes
+    as before."""
+    import json
+    import pytest
+
+    tabs = t1_tables
+    root = str(tmp_path / "store")
+    eng = CrawlEngine.create(
+        spark,
+        root,
+        spark.createDataFrame(tabs["pages"]),
+        spark.createDataFrame(tabs["seeds"]),
+        spark.createDataFrame(tabs["robots"]),
+        spark.createDataFrame(tabs["politeness"]),
+        spark.createDataFrame(tabs["fetch_failures"]),
+        CrawlConfig(batch_size=50),
+    )
+    eng.run(max_rounds=1)
+
+    cfg_path = f"{root}/config.json"
+    saved = json.load(open(cfg_path))
+    from ethereum_raw_data_crawler_spark.functions.urls import CANON_VERSION
+
+    assert saved["canon_version"] == CANON_VERSION
+
+    # mismatch -> refuse with a migration-pointing error
+    saved["canon_version"] = CANON_VERSION + 1
+    json.dump(saved, open(cfg_path, "w"))
+    with pytest.raises(RuntimeError, match="canonicalization rules"):
+        CrawlEngine.resume(spark, root)
+
+    # pre-stamp store (no field) -> resumes, documented-compatible
+    del saved["canon_version"]
+    json.dump(saved, open(cfg_path, "w"))
+    assert CrawlEngine.resume(spark, root) is not None

@@ -88,6 +88,22 @@ def main() -> None:
             subprocess.run(
                 ["cp", "-a", template, os.path.join(root, "store")], check=True
             )
+            # per-leg config overrides on the COPY (the template stays
+            # pristine): debt-fraction sensitivity + egress measurement
+            overrides: dict[str, object] = {}
+            debt = os.environ.get("SPARK_GRAFT_COMPACT_DEBT_FRAC")
+            if debt is not None:
+                overrides["compact_debt_frac"] = float(debt)
+            egress = os.environ.get("SPARK_GRAFT_EGRESS", "0") == "1"
+            if egress:
+                overrides["egress_dir"] = os.path.join(root, "egress")
+            if overrides:
+                cfg_path = os.path.join(root, "store", "config.json")
+                with open(cfg_path) as fh:
+                    saved = json.load(fh)
+                saved.update(overrides)
+                with open(cfg_path, "w") as fh:
+                    json.dump(saved, fh)
             eng = CrawlEngine.resume(spark, os.path.join(root, "store"))
             # resume loads cfg from the template's config.json — a template
             # built with a different batch would silently bench the wrong
