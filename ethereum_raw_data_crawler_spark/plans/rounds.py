@@ -649,8 +649,21 @@ class CrawlEngine:
             failures = self._dim("fetch_failures", FETCH_FAILURES)
             # small pops broadcast (no corpus shuffle); large pops would
             # serialize on the driver-side broadcast build — shuffle both
-            # sides instead and let AQE pick the physical join
-            popped_side = F.broadcast(popped) if n_popped <= 100_000 else popped
+            # sides, but pin the physical strategy to a SHUFFLED HASH join
+            # with the slim popped batch as build side: the default
+            # sort-merge plan SORTS the corpus side, and at 20M rows that
+            # side carries the html payload (~40 GB through sort buffers).
+            # Hashing the slim side instead skips that entirely — measured
+            # on the 20M fetch-join shape, 16 alternating legs in one
+            # session: SHJ wins 6/8 adjacent pairs, min 10.8 s vs 15.6 s,
+            # median 24.9 s vs 33.4 s (BENCH/BASELINE.md round 5). The
+            # build side stays bounded: batch_size / shuffle_partitions
+            # slim rows per task, no html in the hash map.
+            popped_side = (
+                F.broadcast(popped)
+                if n_popped <= 100_000
+                else popped.hint("shuffle_hash")
+            )
             hits = (
                 corpus_sel.join(popped_side, "url_canon", "inner")
                 .join(F.broadcast(failures), "url_canon", "left")

@@ -97,11 +97,20 @@ def main() -> None:
             egress = os.environ.get("SPARK_GRAFT_EGRESS", "0") == "1"
             if egress:
                 overrides["egress_dir"] = os.path.join(root, "egress")
-            if overrides:
+            # SPARK_GRAFT_TEMPLATE_REBATCH=1: run this leg at the CLI
+            # --batch instead of the template's batch_size (multi-round
+            # amortization legs pop a fraction of the frontier per round
+            # without rebuilding a 12-minute template). The loud
+            # batch-mismatch guard below still holds: the copy's config is
+            # rewritten to the CLI batch, so resume() and the assert agree.
+            rebatch = os.environ.get("SPARK_GRAFT_TEMPLATE_REBATCH", "0") == "1"
+            if overrides or rebatch:
                 cfg_path = os.path.join(root, "store", "config.json")
                 with open(cfg_path) as fh:
                     saved = json.load(fh)
                 saved.update(overrides)
+                if rebatch:
+                    saved["cfg"]["batch_size"] = batch
                 with open(cfg_path, "w") as fh:
                     json.dump(saved, fh)
             eng = CrawlEngine.resume(spark, os.path.join(root, "store"))
