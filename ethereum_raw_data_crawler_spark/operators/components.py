@@ -1,0 +1,162 @@
+"""Distributed connected components — dup-group resolution.
+
+The final stage of every dedup pipeline: near-dup PAIRS (from MinHash-LSH,
+SimHash, or embedding-cosine — operators/dedup.py) are only candidates;
+what a training-data pipeline actually needs is a GROUP id per document so
+one canonical representative survives and the rest are dropped. Pairs form
+a graph; groups are its connected components. (The reference's analogue is
+the unique-index collapse on exact keys, mongodb.go:86-92 — this is the
+transitive generalization to near-duplicate content.)
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014 — public). Each operation
+is two narrow shuffles expressed as DataFrame ops:
+
+  large-star  for each node u: m = min(N(u) + {u}); connect every
+              STRICTLY LARGER neighbor to m.
+  small-star  direct each edge toward its smaller endpoint; for each u:
+              m = min of its smaller neighbors; connect u and all its
+              smaller neighbors to m.
+
+The pair converges to a forest of depth-1 stars rooted at each component's
+minimum node id in O(log n) rounds (proven in the paper — NOT O(diameter)
+like naive label propagation, which matters for chain-shaped dup families
+such as versioned pages A~B~C~...).
+
+Scale notes (10^10 docs):
+  * No per-node adjacency list is ever materialized — the per-node min is
+    a groupBy aggregate joined back onto the edge stream, so a hub node
+    costs a skewed-join task (AQE-splittable), not an OOM collect_list.
+  * Each iteration localCheckpoints (eager) — truncates the lineage that
+    iterative DataFrame algorithms otherwise accumulate, and the
+    convergence check reuses the checkpointed blocks instead of
+    recomputing the whole chain.
+  * Convergence = two consecutive iterations with identical
+    (edge-count, xxhash64-sum) checksum — an O(edges) agg with no second
+    join; xxhash64 collisions over the pair-sum are negligible and the
+    fixpoint argument only needs "unchanged edge set implies unchanged
+    checksum", which holds exactly.
+  * Driver traffic is ONE 2-value row per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round over a SYMMETRIC edge list (u, v).
+
+    Emits (v, m) for every neighbor v > u, where m = min(N(u) + {u}).
+    Output is again symmetric-free (undirected pairs, larger -> smaller).
+    """
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round over undirected pairs.
+
+    Directs each edge toward its smaller endpoint, then reconnects each
+    node and all its smaller neighbors to the minimum of that set.
+    """
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return relinked
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Returns one row per distinct node in ``edges`` with columns
+    ``(node, component)`` where ``component`` is the smallest node id in
+    the node's connected component (roots map to themselves).
+
+    ``max_iterations`` is a runaway guard: large-star/small-star provably
+    converges in O(log n) rounds, so 50 covers any graph that fits on a
+    cluster; hitting the cap raises rather than returning partial groups.
+    """
+    pairs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+    cur = pairs.localCheckpoint(eager=True)
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(max_iterations):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        cur = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a sum of 64-bit hashes overflows
+            # BIGINT under ANSI mode after a few rows of the same sign
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (int(row["n"]), int(row["h"]))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # converged: every non-root node carries exactly one edge (node, root)
+    stars = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(stars, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+
+
+def components_oracle(edge_list: list[tuple[int, int]]) -> dict[int, int]:
+    """Single-threaded union-find reference for the pytest oracle."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # second pass: min id per component
+    comp_min: dict[int, int] = {}
+    for n in list(parent):
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, r), n)
+    return {n: comp_min[find(n)] for n in parent}

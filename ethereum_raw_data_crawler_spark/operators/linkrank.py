@@ -1,0 +1,90 @@
+"""Link-authority scoring (PageRank) for crawl prioritization.
+
+Webtext pipelines rank hosts/pages by link authority to (a) prioritize
+the crawl frontier and (b) weight documents in training-data quality
+filters (CommonCrawl-style harmonic/PageRank centrality gating — public
+practice). The reference crawler's analogue is its priority field on the
+frontier (SURVEY §2.3 priority-queue pop); this operator COMPUTES such a
+priority from the link graph the crawl itself discovers.
+
+Semantics: the classic damped power iteration, "no dangling
+redistribution" variant (dangling mass decays into the teleport term):
+
+    r_0(v)   = 1 / N
+    r_t+1(v) = (1 - d) / N  +  d * sum_{(u,v) in E} r_t(u) / outdeg(u)
+
+Multi-edges contribute once per edge; self-loops feed the node itself —
+both engines (this and the SQL oracle) treat the edge list identically,
+so the equality check is exact.
+
+Scale notes (10^9-node host graph):
+  * The edge list is joined with out-degrees ONCE, repartitioned by src,
+    and cached — each of the K iterations then shuffles only the rank
+    table (O(nodes) rows, two slim columns), never the edges.
+  * Rank updates are pure DataFrame agg/join — no driver-side state
+    beyond the scalar N; localCheckpoint per iteration truncates the
+    K-deep lineage (same discipline as operators/components.py).
+  * K is fixed (power iteration, deterministic) — no convergence collect
+    per step; one action per iteration (the eager checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 8,
+) -> DataFrame:
+    """Run ``iterations`` damped power-iteration steps over the edge list.
+
+    Returns (node, rank) for every node that appears in ``edges``.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # static across iterations: partition by src once, cache — the
+    # per-iteration join re-uses this layout and shuffles only ranks
+    e_deg = (
+        e.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        sums = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -141,9 +141,16 @@ def dedup_minhash_lsh(spark, sf):
     brute-force all-pairs Jaccard: equality *is* the recall check (at the
     corpus's near-dup similarity ~0.98, the 16x4 banding misses a pair
     with probability ~1e-18)."""
+    docs = _t(spark, sf, "documents")
+    return _verified_near_dup_pairs(docs)
+
+
+def _verified_near_dup_pairs(docs):
+    """LSH candidates verified by exact word-3-gram Jaccard >= 0.5 —
+    shared by dedup_minhash_lsh (pair output) and dedup_groups (the
+    component-resolution stage consuming those pairs)."""
     from ethereum_raw_data_crawler_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf, "documents")
     cands = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
     g = docs.select("doc_id", _grams_col().alias("gs"))
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a"))
@@ -160,6 +167,69 @@ def dedup_minhash_lsh(spark, sf):
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_groups — near-dup pairs resolved into canonical dup GROUPS
+# --------------------------------------------------------------------------
+
+_PAIRS_SQL = (
+    "SELECT id_a, id_b FROM ("
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "  round(len(list_intersect(a.gs, b.gs)) * 1.0 / "
+    "        len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard "
+    "  FROM grams a JOIN grams b ON a.doc_id < b.doc_id) "
+    "WHERE jaccard >= 0.5"
+)
+
+
+@_q(
+    "dedup_groups",
+    "WITH RECURSIVE grams AS MATERIALIZED ("
+    f"  SELECT doc_id, {_GRAMS_SQL} AS gs FROM documents), "
+    f"pairs AS MATERIALIZED ({_PAIRS_SQL}), "
+    "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+    "          UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
+    "reach AS ("
+    "  SELECT s AS node, s AS lbl FROM edges "
+    "  UNION "
+    "  SELECT e.d AS node, r.lbl AS lbl FROM reach r JOIN edges e ON r.node = e.s), "
+    "labeled AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node) "
+    "SELECT doc_id, group_id, "
+    "CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size, "
+    "CAST(CASE WHEN doc_id = group_id THEN 1 ELSE 0 END AS INT) AS keep "
+    "FROM labeled ORDER BY doc_id",
+)
+def dedup_groups(spark, sf):
+    """The missing final stage of the dedup pipeline: verified near-dup
+    PAIRS (same LSH + exact-Jaccard stage as dedup_minhash_lsh) resolved
+    into connected-component GROUPS via alternating large-star/small-star
+    (operators/components.py — O(log n) shuffle rounds, no adjacency
+    lists, no driver-side graph). Output: one row per document that
+    appears in any near-dup pair, its group id (= min doc_id reachable
+    through near-dup edges), the group size, and keep=1 on the canonical
+    representative. The oracle computes the same transitive closure with
+    a DuckDB recursive CTE (min-label reachability)."""
+    from ethereum_raw_data_crawler_spark.operators.components import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    pairs = _verified_near_dup_pairs(docs).select("id_a", "id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+        )
+        .withColumn(
+            "group_size", F.count(F.lit(1)).over(Window.partitionBy("group_id"))
+        )
+        .withColumn(
+            "keep", (F.col("doc_id") == F.col("group_id")).cast("int")
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -519,6 +589,76 @@ def media_features(spark, sf):
     return feats.select(
         "media_id", "kind", "n_bytes", fingerprint.alias("fingerprint")
     )
+
+
+# --------------------------------------------------------------------------
+# link_pagerank — link-authority scoring over an analytic link graph
+# --------------------------------------------------------------------------
+
+_PR_DAMP = "CAST(0.85 AS DOUBLE)"
+_PR_ITERS = 8
+_PR_N = "(SELECT n FROM params)"
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled damped power iteration (K fixed CTE stages — recursive
+    CTEs can't aggregate in the recursive term, so the oracle unrolls).
+    All arithmetic is explicit DOUBLE so both engines run the identical
+    IEEE ops; the output is integer parts-per-billion so the driver's
+    value-hash compare never touches float rendering."""
+    ctes = [
+        "params AS (SELECT count(*) AS n FROM documents)",
+        "edges AS ("
+        f"  SELECT doc_id AS src, (doc_id * 2 + 1) % {_PR_N} AS dst FROM documents"
+        "  UNION ALL"
+        f"  SELECT doc_id AS src, (doc_id * 3 + 2) % {_PR_N} AS dst FROM documents)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"pr0 AS (SELECT node, CAST(1 AS DOUBLE) / {_PR_N} AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT nd.node, "
+            f"(1 - {_PR_DAMP}) / {_PR_N} + {_PR_DAMP} * "
+            "coalesce(s.m, CAST(0 AS DOUBLE)) AS rank "
+            "FROM nodes nd LEFT JOIN ("
+            "  SELECT e.dst AS node, sum(p.rank / dg.outdeg) AS m "
+            f"  FROM edges e JOIN pr{i - 1} p ON p.node = e.src "
+            "  JOIN deg dg ON dg.src = e.src GROUP BY e.dst) s "
+            "ON nd.node = s.node)",
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node AS doc_id, CAST(round(rank * 1e9) AS BIGINT) AS rank_ppb "
+        f"FROM pr{iters} ORDER BY doc_id"
+    )
+
+
+@_q("link_pagerank", _pagerank_oracle_sql(_PR_ITERS))
+def link_pagerank(spark, sf):
+    """Crawl-priority / quality-weighting signal: 8 damped power-iteration
+    steps (operators/linkrank.py — edges joined with out-degrees once and
+    cached; each iteration shuffles only the slim rank table) over a
+    deterministic link graph derived from doc ids (every doc links to
+    (2d+1) mod N and (3d+2) mod N — synthetic-at-small-scale per the
+    input-table contract; the crawl engine feeds its real outlink graph
+    to the same operator). The reference analogue is the frontier
+    priority field this score would populate (SURVEY §2.3). Output in
+    integer parts-per-billion: float rendering never reaches the driver's
+    hash compare."""
+    from ethereum_raw_data_crawler_spark.operators.linkrank import pagerank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = docs.select(
+        d.alias("src"), ((d * 2 + 1) % n).alias("dst")
+    ).union(docs.select(d.alias("src"), ((d * 3 + 2) % n).alias("dst")))
+    pr = pagerank(edges, damping=0.85, iterations=_PR_ITERS)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * 1e9).cast("bigint").alias("rank_ppb"),
+    ).orderBy("doc_id")
 
 
 __all__ = ["REGISTRY"]
