@@ -95,10 +95,11 @@ def _q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Every registry query (all 56 SQL-paired, incl. the pipeline
+    """Every registry query (all 58 SQL-paired, incl. the pipeline
     variants in queries_pipeline.py: canonicalize_urls, extract_text,
-    dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_lsh_indexed_topk,
-    ann_ivf_topk, ann_ivf_indexed_topk, media_features) plus the
+    dedup_minhash_lsh, dedup_groups, dedup_simhash, ann_lsh_topk,
+    ann_lsh_indexed_topk, ann_ivf_topk, ann_ivf_indexed_topk,
+    media_features, link_pagerank) plus the
     crawl-engine state reads, whose exact oracle is the pytest suite
     (tests/test_engine_oracle_equivalence.py). Ordering: second-exemplar
     queries are emitted last (queries.py::DEFER_LAST) so a scorer that

@@ -89,6 +89,20 @@ _TABLES = {
     "frontier": "mor",
 }
 
+# max slim popped rows per shuffled-hash build task (~100-200 MB of
+# hash map at frontier-row width); the fetch join widens its exchange
+# past the session shuffle width whenever batch/width would exceed it
+SHJ_BUILD_ROWS = 1_500_000
+
+
+def shj_width(n_build_rows: int, conf_width: int) -> int:
+    """Partition count for a shuffled-hash join exchange: at least the
+    session's shuffle width (wide clusters keep their parallelism), but
+    never fewer partitions than it takes to hold <= SHJ_BUILD_ROWS build
+    rows each — the invariant that makes a hash build safe at any
+    (batch size, cluster width) combination."""
+    return max(conf_width, -(-n_build_rows // SHJ_BUILD_ROWS))
+
 
 class CrawlEngine:
     def __init__(
@@ -657,13 +671,26 @@ class CrawlEngine:
             # on the 20M fetch-join shape, 16 alternating legs in one
             # session: SHJ wins 6/8 adjacent pairs, min 10.8 s vs 15.6 s,
             # median 24.9 s vs 33.4 s (BENCH/BASELINE.md round 5). The
-            # build side stays bounded: batch_size / shuffle_partitions
-            # slim rows per task, no html in the hash map.
-            popped_side = (
-                F.broadcast(popped)
-                if n_popped <= 100_000
-                else popped.hint("shuffle_hash")
-            )
+            # build side must stay bounded by DATA volume, not cluster
+            # width: at the configured shuffle width alone a narrow
+            # cluster (or local[2]) gets batch/width-row hash builds —
+            # measured 4x+ round blowup at 20M popped / 2 partitions
+            # (10M-row builds thrash GC). Widening the exchange so each
+            # build holds <= SHJ_BUILD_ROWS slim rows keeps every
+            # executor's hash map at low hundreds of MB no matter how
+            # many executors the job happens to get; the explicit
+            # repartition IS the join's exchange (it satisfies the hash
+            # distribution), so wide clusters pay nothing extra.
+            if n_popped <= 100_000:
+                popped_side = F.broadcast(popped)
+            else:
+                width = shj_width(
+                    n_popped,
+                    int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                )
+                popped_side = popped.repartition(width, "url_canon").hint(
+                    "shuffle_hash"
+                )
             hits = (
                 corpus_sel.join(popped_side, "url_canon", "inner")
                 .join(F.broadcast(failures), "url_canon", "left")

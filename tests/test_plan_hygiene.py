@@ -217,3 +217,55 @@ def test_every_registry_query_avoids_row_python(spark):
     for name, fn in spark_queries().items():
         plan = _plan(fn(spark, sf))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_shj_width_bounds_build_partition():
+    """The shuffled-hash fetch join's build side must be bounded by DATA
+    volume, not cluster width: at any (n_popped, conf_width) combination
+    no partition may hold more than SHJ_BUILD_ROWS build rows, and wide
+    sessions must keep their configured parallelism."""
+    from ethereum_raw_data_crawler_spark.plans.rounds import SHJ_BUILD_ROWS, shj_width
+
+    # narrow session, huge batch: width comes from the data
+    assert shj_width(20_000_000, 2) == -(-20_000_000 // SHJ_BUILD_ROWS)
+    # wide session, same batch: session width wins (no lost parallelism)
+    assert shj_width(20_000_000, 96) == 96
+    # every combination respects the bound
+    for rows in (150_000, 1_500_000, 1_500_001, 7_777_777, 100_000_000):
+        for w in (2, 8, 32, 96):
+            parts = shj_width(rows, w)
+            assert -(-rows // parts) <= SHJ_BUILD_ROWS
+            assert parts >= w
+
+
+def test_large_pop_fetch_join_is_shj_with_widened_exchange(spark):
+    """Build the fetch join exactly as the engine's large-pop branch does
+    and assert (a) the physical join is ShuffledHashJoin with the slim
+    side as build, (b) the exchange is hash-partitioned wider than the
+    session shuffle width when the batch demands it."""
+    import re
+
+    from ethereum_raw_data_crawler_spark.plans.rounds import shj_width
+
+    conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pretend a 20M-row pop on a narrow session: widths must widen
+    want = shj_width(20_000_000, 2)
+    assert want > 2
+
+    corpus = spark.range(1000).select(
+        F.concat(F.lit("https://h.example/p/"), F.col("id")).alias("url_canon"),
+        F.lit(b"<html>").alias("html"),
+    )
+    popped = spark.range(500).select(
+        F.concat(F.lit("https://h.example/p/"), F.col("id")).alias("url_canon"),
+        F.lit(1).alias("priority"),
+    )
+    joined = corpus.join(
+        popped.repartition(want, "url_canon").hint("shuffle_hash"),
+        "url_canon",
+        "inner",
+    )
+    plan = _plan(joined)
+    assert "ShuffledHashJoin" in plan, plan
+    m = re.search(r"hashpartitioning\(url_canon[^,]*, (\d+)\)", plan)
+    assert m and int(m.group(1)) == want, plan
