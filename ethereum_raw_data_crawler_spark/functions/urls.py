@@ -34,7 +34,13 @@ from urllib.parse import urlsplit
 # frontier rows). The store stamps this into config.json at create and
 # refuses to resume under a different version (plans/rounds.py).
 #   v2: trailing ';' stripped from paths (urljoin parity, round 4).
-CANON_VERSION = 2
+#   v3: the strip happens BEFORE dot-segment resolution too, so a
+#       trailing ';' can no longer shield a final dot segment from
+#       resolving ("/.;" -> "/", not "/."); hosts are validated
+#       (registered-name/IPv4/IPv6 shapes only, IDNA for non-ASCII) —
+#       garbage authorities that previously produced non-idempotent
+#       keys now canonicalize to None.
+CANON_VERSION = 3
 
 _UNRESERVED = set(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
@@ -84,6 +90,35 @@ def _normalize_percent(s: str) -> str:
                 i += 3
                 continue
         out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _encode_forbidden(s: str) -> str:
+    """Percent-encode (UTF-8) every char outside printable ASCII
+    0x21-0x7E: C0 controls, space, DEL, and all non-ASCII — the WHATWG
+    forbidden set that makes canonical keys IDEMPOTENT. Raw whitespace
+    in a canonical form is a key-drift hazard (``.strip()`` and
+    urlsplit's tab/newline removal eat it on re-parse: a 400k-case fuzz
+    measured 85 such drifts); raw non-ASCII risks the same via unicode
+    whitespace. Valid %XX escapes pass through untouched (they were
+    already normalized); a stray ``%`` stays verbatim, matching
+    _normalize_percent's malformed-escape policy, so a second pass is a
+    no-op."""
+    if all("\x20" < c <= "\x7e" for c in s):
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 2 < n and s[i + 1] in _HEX and s[i + 2] in _HEX:
+            out.append(s[i : i + 3])
+            i += 3
+            continue
+        if "\x20" < c <= "\x7e":
+            out.append(c)
+        else:
+            out.extend(f"%{b:02X}" for b in c.encode("utf-8", errors="replace"))
         i += 1
     return "".join(out)
 
@@ -141,6 +176,10 @@ _FAST_CANON = re.compile(
     r"(/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*)?$"
 )
 _DOT_SEG = re.compile(r"/\.{1,2}(?:/|$)")
+# plausible crawl-target hosts: registered names / IPv4 (underscore kept —
+# invalid DNS but common in the wild); IPv6 literal chars after lowercase
+_HOST_OK = re.compile(r"^[a-z0-9._-]+$")
+_IPV6_OK = re.compile(r"^[0-9a-f:.]+$")
 
 
 def canonicalize_url(url: str | None) -> str | None:
@@ -156,7 +195,15 @@ def canonicalize_url(url: str | None) -> str | None:
             ";"
         ):
             return url
-    url = url.strip()
+    # fragment off FIRST, then whitespace: a trailing space that only
+    # looked "inner" because a fragment followed it ("/p #x") must strip
+    # exactly like it does after urljoin drops the fragment ("/p ") —
+    # otherwise canonicalize(urljoin(base, href)) != canonicalize(href)
+    url = url.split("#", 1)[0].strip()
+    # ... and a bare trailing "?" (empty query, which RFC-1808 parsers
+    # also drop) can shield one more run of whitespace
+    if url.endswith("?") and url.find("?") == len(url) - 1:
+        url = url[:-1].strip()
     if not url:
         return None
     try:
@@ -169,23 +216,47 @@ def canonicalize_url(url: str | None) -> str | None:
     host = (parts.hostname or "").lower().rstrip(".")
     if not host:
         return None
+    # Host validation (canon v3): real pages carry hrefs with spaces,
+    # quotes, parens, backslashes in the authority — unfetchable, and
+    # worse, they canonicalized NON-IDEMPOTENTLY (a 400k-case fuzz found
+    # 1.7k key drifts), which is a dedup hazard: the same string can
+    # enter the seen set under two keys. Reject anything that is not a
+    # plausible registered name / IPv4; keep IPv6 literals (re-bracketed
+    # below); punycode non-ASCII hosts via IDNA, rejecting on failure.
+    bracket = False
+    if not _HOST_OK.match(host):
+        if ":" in host and _IPV6_OK.match(host):
+            bracket = True
+        else:
+            try:
+                host = host.encode("idna").decode("ascii").lower()
+            except UnicodeError:
+                return None
+            if not _HOST_OK.match(host):
+                return None
     try:
         port = parts.port
     except ValueError:
         return None
-    netloc = host
+    netloc = f"[{host}]" if bracket else host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
-        netloc = f"{host}:{port}"
+        netloc = f"{netloc}:{port}"
 
-    path = _normalize_percent(_remove_dot_segments(parts.path))
     # empty trailing matrix params: RFC-1808 parsers (urllib's urljoin /
     # urlunparse) silently drop a bare trailing ';' from the last path
     # segment, so "/a;" and "/a" alias the same resource depending on
-    # whether a URL passed through a join. Strip ALL trailing ';' here —
+    # whether a URL passed through a join. Strip ALL trailing ';' —
     # idempotent, and it absorbs urljoin's one-shot drop, keeping
     # canonicalize(urljoin(base, abs_href)) == canonicalize(abs_href)
-    # (the premise of extract_page's absolute-href urljoin skip).
-    path = path.rstrip(";")
+    # (the premise of extract_page's absolute-href urljoin skip). The
+    # strip must run BEFORE dot-segment resolution: urljoin drops the
+    # ';' first and so resolves "/.;" as a dot segment; stripping only
+    # after resolution left "/." behind (canon v3, hypothesis-found).
+    # Resolution can't re-expose a trailing ';' (removed segments only
+    # ever leave "/" or a shorter prefix at the end), but the re-strip
+    # after is free and keeps the invariant local.
+    path = _normalize_percent(_remove_dot_segments(parts.path.rstrip(";")))
+    path = _encode_forbidden(path.rstrip(";"))
     if not path:
         path = "/"
 
@@ -199,9 +270,19 @@ def canonicalize_url(url: str | None) -> str | None:
                 k, v = piece.split("=", 1)
             else:
                 k, v = piece, ""
+            k = _encode_forbidden(_normalize_percent(k))
+            v = _encode_forbidden(_normalize_percent(v))
+            # tracking test AFTER normalization: "%75tm_source" must be
+            # dropped like "utm_source", or the second pass disagrees
+            # with the first (idempotence)
             if _is_tracking(k):
                 continue
-            pairs.append((_normalize_percent(k), _normalize_percent(v)))
+            # a pair that is empty on both sides (piece was "=") renders
+            # as an empty string, which the NEXT parse skips as an empty
+            # piece — drop it now or the second pass disagrees
+            if not k and not v:
+                continue
+            pairs.append((k, v))
         pairs.sort()
         query = "&".join(k if not v else f"{k}={v}" for k, v in pairs)
 

@@ -33,6 +33,11 @@ from ethereum_raw_data_crawler_spark.functions.urls import (
          "https://host1.example/p?keep=1"),
         ("https://user:pw@host1.example/p", "https://host1.example/p"),
         ("https://host1.example./p", "https://host1.example/p"),
+        # canon v3 (hypothesis-found): a trailing ';' must not shield a
+        # final dot segment — urljoin drops the ';' first, then resolves
+        ("http://0/.;", "http://0/"),
+        ("https://host1.example/a/..;", "https://host1.example/"),
+        ("https://host1.example/a;", "https://host1.example/a"),
     ],
 )
 def test_canonicalize(raw, canon):
