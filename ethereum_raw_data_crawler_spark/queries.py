@@ -979,6 +979,16 @@ DEFER_LAST = [
     "approx_distinct",
     "cube_agg",
     "rolling_hash_fingerprint",
+    # round 5: two more second exemplars deferred so the 50-row window
+    # keeps covering every DISTINCT operator family after dedup_groups /
+    # link_pagerank registered (without this, media_features — a family
+    # with no sibling — fell to position 51 and lost its scored row):
+    # existence_check's family stays scored via anti_join_dedup,
+    # topk_by_value's via priority_pop. All 8 deferred queries remain
+    # registered, SQL-paired, and gated by tools/check_queries.py —
+    # the trade is documented in COVERAGE.md.
+    "existence_check",
+    "topk_by_value",
 ]
 
 
