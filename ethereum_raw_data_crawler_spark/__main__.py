@@ -61,6 +61,7 @@ def cmd_crawl(args) -> int:
     eng = CrawlEngine.create(
         spark, args.store, pages, seeds, robots, politeness, None, cfg,
         egress_dir=args.egress_dir,
+        track_host_graph=args.track_host_graph,
     )
     stats = eng.run(max_rounds=args.rounds)
     for s in stats:
@@ -160,6 +161,21 @@ def cmd_health(args) -> int:
     return 0
 
 
+def cmd_rescore(args) -> int:
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+
+    spark = _spark(args)
+    eng = CrawlEngine.resume(spark, args.store)
+    stats = eng.rescore_priorities(
+        top_frac=args.top_frac,
+        damping=args.damping,
+        iterations=args.iterations,
+        boost=args.boost,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ethereum_raw_data_crawler_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -176,6 +192,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--default-budget", type=int, default=5)
     c.add_argument("--egress-dir", default=None,
                    help="publish per-page events here after each commit")
+    c.add_argument("--track-host-graph", action="store_true",
+                   help="append the per-round host link graph (rescore input)")
     c.set_defaults(fn=cmd_crawl)
 
     r = sub.add_parser("resume", help="resume from the last snapshot")
@@ -205,6 +223,17 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--store", required=True)
     h.add_argument("--last", type=int, default=None)
     h.set_defaults(fn=cmd_health)
+
+    rs = sub.add_parser(
+        "rescore",
+        help="re-prioritize pending frontier rows by host link authority",
+    )
+    rs.add_argument("--store", required=True)
+    rs.add_argument("--top-frac", type=float, default=0.10)
+    rs.add_argument("--damping", type=float, default=0.85)
+    rs.add_argument("--iterations", type=int, default=8)
+    rs.add_argument("--boost", type=int, default=1)
+    rs.set_defaults(fn=cmd_rescore)
 
     args = p.parse_args(argv)
     return args.fn(args)

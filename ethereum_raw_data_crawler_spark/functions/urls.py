@@ -171,15 +171,19 @@ def _is_tracking(key: str) -> bool:
 # the hot branch of outlink discovery, where most links on real pages are
 # plain absolute URLs.
 _FAST_CANON = re.compile(
+    # \Z, not $: re's $ also matches BEFORE a trailing newline, which let
+    # "https://um\n" take the fast path and keep the \n (one more
+    # idempotence drift class, 200k-case fuzz; the slow path's urlsplit
+    # strips \t\r\n so pass 2 produced a different key)
     r"^(https?)://"
     r"([a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?)"
-    r"(/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*)?$"
+    r"(/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*)?\Z"
 )
 _DOT_SEG = re.compile(r"/\.{1,2}(?:/|$)")
 # plausible crawl-target hosts: registered names / IPv4 (underscore kept —
 # invalid DNS but common in the wild); IPv6 literal chars after lowercase
-_HOST_OK = re.compile(r"^[a-z0-9._-]+$")
-_IPV6_OK = re.compile(r"^[0-9a-f:.]+$")
+_HOST_OK = re.compile(r"^[a-z0-9._-]+\Z")  # \Z: $ would accept "um\n"
+_IPV6_OK = re.compile(r"^[0-9a-f:.]+\Z")
 
 
 def canonicalize_url(url: str | None) -> str | None:

@@ -55,6 +55,7 @@ from ethereum_raw_data_crawler_spark.schemas import (
     FETCH_FAILURES,
     FRONTIER,
     HEALTH,
+    HOST_EDGES,
     METRICS,
     PAGES_OUT,
     POLITENESS,
@@ -86,6 +87,7 @@ _TABLES = {
     "seen": "append",
     "metrics": "append",
     "health": "append",
+    "host_edges": "append",
     "frontier": "mor",
 }
 
@@ -117,6 +119,7 @@ class CrawlEngine:
         egress_dir: str | None = None,
         bloom_buckets: int = 64,
         compact_debt_frac: float = 0.15,
+        track_host_graph: bool = False,
     ) -> None:
         from ethereum_raw_data_crawler_spark.deploy import ship_package
 
@@ -141,6 +144,12 @@ class CrawlEngine:
         # instead of broadcast), so the only question is amortized rewrite
         # cost, which is what the fraction controls.
         self.compact_debt_frac: float = compact_debt_frac
+        # when on, each round appends the (src_host, dst_host) link-graph
+        # aggregate to the host_edges table inside the atomic commit —
+        # the input to rescore_priorities. Off by default: it adds one
+        # O(outlinks) map-side-combined aggregation per round that a
+        # crawl which never rescores shouldn't pay.
+        self.track_host_graph: bool = track_host_graph
         # cache the corpus-join hit set (html included) below this popped
         # count; recompute slim branches above it (see run_round)
         self.HITS_CACHE_MAX: int = 2_000_000
@@ -193,6 +202,7 @@ class CrawlEngine:
                     "egress_dir": kw.get("egress_dir"),
                     "bloom_buckets": eng.bloom_buckets,
                     "compact_debt_frac": eng.compact_debt_frac,
+                    "track_host_graph": eng.track_host_graph,
                     "canon_version": CANON_VERSION,
                 },
                 fh,
@@ -281,6 +291,7 @@ class CrawlEngine:
             egress_dir=saved.get("egress_dir"),
             bloom_buckets=saved.get("bloom_buckets", 64),
             compact_debt_frac=saved.get("compact_debt_frac", 0.15),
+            track_host_graph=saved.get("track_host_graph", False),
         )
         if eng._egress is not None:
             # publish-after-commit redelivery: any round committed before
@@ -323,6 +334,14 @@ class CrawlEngine:
 
     def frontier(self) -> DataFrame:
         return self.store.read(self.spark, "frontier", FRONTIER)
+
+    def host_edges(self) -> DataFrame:
+        """Accumulated host-level link graph (empty for stores that never
+        tracked it — the table is registered at create time either way)."""
+        if "host_edges" not in self.store.manifest()["tables"]:
+            # stores created before §11: behave as an empty graph
+            return self.spark.createDataFrame([], HOST_EDGES)
+        return self.store.read(self.spark, "host_edges", HOST_EDGES)
 
     def seen(self) -> DataFrame:
         return self.store.read(self.spark, "seen", SEEN)
@@ -1013,6 +1032,45 @@ class CrawlEngine:
         txn.append_pandas("metrics", metrics_pdf, METRICS)
         if "health" in txn.manifest["tables"]:  # stores created pre-§10
             txn.append_pandas("health", health_pdf, HEALTH)
+        if (
+            self.track_host_graph
+            and n_fetched
+            and "host_edges" in txn.manifest["tables"]  # stores pre-§11
+        ):
+            # host-level link-graph delta for this round: O(outlinks) with
+            # map-side combine (host pairs repeat heavily within a
+            # partition), grouped down to ~|hosts|^epsilon rows before the
+            # shuffle. Only host + links are read back out of the cached
+            # parse — html never moves. Self-host edges carry no authority
+            # signal and are dropped (standard host-graph practice).
+            edges_rnd = (
+                extracted.select(
+                    F.col("host").alias("src_host"),
+                    F.explode("ext.links").alias("dst"),
+                )
+                .withColumn(
+                    "dst_host",
+                    F.regexp_extract("dst", r"^https?://([^/]+)/", 1),
+                )
+                .where(
+                    (F.col("dst_host") != "")
+                    & (F.col("dst_host") != F.col("src_host"))
+                )
+                .groupBy("src_host", "dst_host")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    "src_host",
+                    "dst_host",
+                    "n",
+                    F.lit(rnd).cast("int").alias("round"),
+                )
+            )
+            timed(
+                "host_graph",
+                lambda: txn.append(
+                    "host_edges", edges_rnd.coalesce(parts(n_fetched))
+                ),
+            )
         timed(
             "frontier",
             lambda: txn.upsert(
@@ -1061,6 +1119,104 @@ class CrawlEngine:
         expire-snapshots style), no row rewrite."""
         cutoff = self.store.round - keep_last_rounds
         return self.store.prune_fragments("metrics", cutoff, self.store.round)
+
+    # -------------------------------------------------- link-authority rescore
+    def rescore_priorities(
+        self,
+        top_frac: float = 0.10,
+        damping: float = 0.85,
+        iterations: int = 8,
+        boost: int = 1,
+    ) -> dict:
+        """Re-prioritize pending frontier rows by crawl-discovered link
+        authority: PageRank over the accumulated host_edges graph
+        (operators/linkrank.py), then lower ``priority`` (= fetch sooner)
+        by ``boost`` for pending URLs on the top ``top_frac`` of hosts.
+
+        This is the COMPUTED version of the reference's static priority
+        field (scheduler_service.go:251-307 pops by priority; here the
+        priority itself is learned from the link graph the crawl built —
+        CommonCrawl-style centrality-driven frontier scheduling).
+
+        Maintenance op, run BETWEEN rounds; commits one frontier MOR
+        upsert at round ``store.round + 1`` (its own snapshot — time
+        travel across a rescore works like any other commit; the slot is
+        consumed so the upsert's delete fragment can never collide with
+        same-round data rows, whose MOR resolution is ``_seq >= del_seq``).
+
+        Scale shape: the host graph is hosts², not URLs² — slim strings
+        through pagerank's cached edge join; top-k selection is the same
+        distributed two-pass numbering the large-k pop uses (never a
+        single-partition window); the frontier update is one bounded MOR
+        upsert, and only rows whose priority actually changes are
+        rewritten. Determinism: float rank sums jitter at ~1e-15 across
+        partitionings, so all ordering happens on parts-per-billion
+        integers (the same discipline as the link_pagerank query oracle).
+        """
+        import math
+
+        from ethereum_raw_data_crawler_spark.operators.linkrank import pagerank
+        from ethereum_raw_data_crawler_spark.operators.priority_pop import (
+            assign_global_seq,
+        )
+
+        # unweighted host graph: one edge per distinct (src, dst) pair —
+        # per-round fragments re-observe the same pair, distinct folds them
+        edges = self.host_edges().select("src_host", "dst_host").distinct()
+        ranks = pagerank(
+            edges, "src_host", "dst_host", damping=damping, iterations=iterations
+        )
+        ranks = ranks.select(
+            "node",
+            (-F.round(F.col("rank") * 1e9).cast("long")).alias("neg_ppb"),
+        )
+        n_hosts = ranks.count()
+        if n_hosts == 0:
+            return {"hosts": 0, "top_k": 0, "boosted": 0, "round": None}
+        k = max(1, int(math.ceil(top_frac * n_hosts)))
+        top = (
+            assign_global_seq(
+                ranks,
+                ["neg_ppb", "node"],
+                "pos",
+                approx_count=n_hosts,
+                scratch=self._scratch,
+            )
+            .where(F.col("pos") < F.lit(k))
+            .select(F.col("node").alias("host"))
+        )
+        if k <= 1_000_000:
+            top = F.broadcast(top)
+
+        boosted = (
+            self.frontier()
+            .where((F.col("status") == STATUS_PENDING) & (F.col("priority") > 0))
+            .join(top, "host")
+            .withColumn(
+                "priority",
+                F.greatest(F.lit(0), F.col("priority") - F.lit(int(boost))).cast(
+                    "int"
+                ),
+            )
+            .select(*[f.name for f in FRONTIER.fields])
+            .localCheckpoint(eager=True)  # one computation feeds count +
+            # delete keys + new rows; checkpoint instead of cache so the
+            # upsert's two write jobs can't race a lazy re-evaluation
+        )
+        n_boosted = boosted.count()
+        rnd = self.store.round + 1
+        if n_boosted:
+            txn = self.store.transaction(rnd)
+            txn.upsert(
+                "frontier",
+                "url_canon",
+                boosted.coalesce(max(1, min(64, n_boosted // 100_000 + 1))),
+                boosted.select("url_canon"),
+            )
+            txn.commit()
+        self._drain_scratch()
+        return {"hosts": n_hosts, "top_k": k, "boosted": n_boosted,
+                "round": rnd if n_boosted else None}
 
     # ------------------------------------------------------------- the loop
     def pending_count(self) -> int:

@@ -133,6 +133,26 @@ HEALTH = T.StructType(
     ]
 )
 
+# §11 host_edges — per-round host-level link-graph aggregate, written
+# inside the round's atomic commit when the engine is created with
+# ``track_host_graph=True``. One row per (src_host, dst_host, round) with
+# ``n`` = number of pages on src_host that linked to dst_host this round
+# (per-doc-deduped links, self-host edges excluded). The granularity is
+# HOSTS, not URLs, on purpose: a 10^10-URL crawl has ~10^7-10^8 hosts, so
+# the accumulated graph stays rescoreable as a slim two-column join while
+# a URL-level graph would be another corpus-sized table. Consumed by
+# CrawlEngine.rescore_priorities (link-authority frontier prioritization —
+# the computed version of the reference's static priority field,
+# scheduler_service.go:251-307).
+HOST_EDGES = T.StructType(
+    [
+        T.StructField("src_host", T.StringType(), False),
+        T.StructField("dst_host", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 # §9 fetch_failures — failure injection (retry/skip semantics).
 # fail_attempts holds 1-based fetch-attempt ordinals that raise an
 # error, mirroring the failedBlocks/skippedBlocks machine (reference:

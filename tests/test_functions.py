@@ -49,6 +49,23 @@ def test_canonicalize_rejects(raw):
     assert canonicalize_url(raw) is None
 
 
+@pytest.mark.parametrize(
+    "raw, canon",
+    [
+        # \Z-anchor regression (canon v3 fix): $ matched before a trailing
+        # newline, so these took the FAST path keeping the \n on pass 1
+        # and lost it via urlsplit's \t\r\n strip on pass 2 — key drift
+        ("https://um\n", "https://um/"),
+        ("http://gq\n", "http://gq/"),
+        ("https://9\n/p", "https://9/p"),
+        ("https://a\nb/p", "https://ab/p"),  # inner newline: urlsplit strip
+    ],
+)
+def test_canonicalize_newline_idempotent(raw, canon):
+    assert canonicalize_url(raw) == canon
+    assert canonicalize_url(canon) == canon
+
+
 def test_canonicalize_idempotent_on_fixture_urls():
     from ethereum_raw_data_crawler_spark.sources import synth
 
