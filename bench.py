@@ -27,6 +27,10 @@ HEADLINE = [
     "dedup_exact",
     "token_count",
     "embedding_topk",
+    # round 5: the two graph operators (iterative; wall dominated by
+    # their fixed iteration count, not the sf0.1 data volume)
+    "dedup_groups",
+    "link_pagerank",
 ]
 
 
