@@ -572,12 +572,15 @@ def split_by_bloom(df, key_col: str, bloom, spark, scratch=None):
     """Split candidates into (definitely_new, maybe_seen) — mapInPandas,
     no row-Python. Only maybe_seen needs the exact anti-join backstop.
 
-    ``bloom`` is a :class:`PartitionedBloom` (the engine's at-rest seen
-    filter) or a plain in-memory :class:`BloomFilter` (broadcast whole —
-    unit tests / ad-hoc use). The tagged intermediate is CACHED (owned by
-    ``scratch``): both returned branches read it, and without the cache
-    each branch would re-execute the full upstream candidate pipeline."""
-    if isinstance(bloom, PartitionedBloom):
+    ``bloom`` is any at-rest partitioned filter exposing ``probe_split``
+    (:class:`PartitionedBloom` or the deletable
+    :class:`~..operators.cuckoo.PartitionedCuckoo`) or a plain in-memory
+    :class:`BloomFilter`/``CuckooFilter`` (broadcast whole — unit tests /
+    ad-hoc use; both expose ``contains_many``). The tagged intermediate is
+    CACHED (owned by ``scratch``): both returned branches read it, and
+    without the cache each branch would re-execute the full upstream
+    candidate pipeline."""
+    if hasattr(bloom, "probe_split"):
         return bloom.probe_split(df, key_col, spark, scratch=scratch)
 
     from pyspark.sql import types as T

@@ -50,6 +50,7 @@ from ethereum_raw_data_crawler_spark.operators.bloom import (
     PartitionedBloom,
     split_by_bloom,
 )
+from ethereum_raw_data_crawler_spark.operators.cuckoo import PartitionedCuckoo
 from ethereum_raw_data_crawler_spark.operators.priority_pop import pop_batch
 from ethereum_raw_data_crawler_spark.schemas import (
     FETCH_FAILURES,
@@ -120,6 +121,7 @@ class CrawlEngine:
         bloom_buckets: int = 64,
         compact_debt_frac: float = 0.15,
         track_host_graph: bool = False,
+        seen_filter: str = "bloom",
     ) -> None:
         from ethereum_raw_data_crawler_spark.deploy import ship_package
 
@@ -153,7 +155,15 @@ class CrawlEngine:
         # cache the corpus-join hit set (html included) below this popped
         # count; recompute slim branches above it (see run_round)
         self.HITS_CACHE_MAX: int = 2_000_000
-        self._bloom: PartitionedBloom | None = None
+        # seen-set prefilter family: "bloom" (default, 9.6 bits/URL) or
+        # "cuckoo" (~17.8 bits/URL, ~80x lower FPR, and DELETABLE — the
+        # forget_urls unlearn path stays on the fast probe; see
+        # operators/cuckoo.py for the full trade)
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
+        self.seen_filter = seen_filter
+        self._filter_cls = PartitionedBloom if seen_filter == "bloom" else PartitionedCuckoo
+        self._bloom: PartitionedBloom | PartitionedCuckoo | None = None
         self._dims: dict[str, DataFrame] = {}
         self._scratch: list[DataFrame] = []
         self._egress = None
@@ -190,7 +200,7 @@ class CrawlEngine:
                 # this only sizes the STARTING bitmaps + bucket count.
                 expected_keys = max(int(seeds.count()) * 16, 1 << 20)
             if auto_buckets:
-                eng.bloom_buckets = PartitionedBloom.buckets_for(expected_keys)
+                eng.bloom_buckets = eng._filter_cls.buckets_for(expected_keys)
         with open(os.path.join(store_root, "config.json"), "w") as fh:
             json.dump(
                 {
@@ -203,12 +213,13 @@ class CrawlEngine:
                     "bloom_buckets": eng.bloom_buckets,
                     "compact_debt_frac": eng.compact_debt_frac,
                     "track_host_graph": eng.track_host_graph,
+                    "seen_filter": eng.seen_filter,
                     "canon_version": CANON_VERSION,
                 },
                 fh,
             )
         if eng.use_bloom:
-            eng._bloom = PartitionedBloom.create(
+            eng._bloom = eng._filter_cls.create(
                 store_root,
                 n_buckets=eng.bloom_buckets,
                 expected_keys=expected_keys,
@@ -292,19 +303,20 @@ class CrawlEngine:
             bloom_buckets=saved.get("bloom_buckets", 64),
             compact_debt_frac=saved.get("compact_debt_frac", 0.15),
             track_host_graph=saved.get("track_host_graph", False),
+            seen_filter=saved.get("seen_filter", "bloom"),
         )
         if eng._egress is not None:
             # publish-after-commit redelivery: any round committed before
             # the crash but never published goes out now (at-least-once)
             eng._egress.catch_up(spark, eng.store)
         if eng.use_bloom:
-            bloom_rnd = PartitionedBloom.latest_round(store_root)
+            bloom_rnd = eng._filter_cls.latest_round(store_root)
             if bloom_rnd is None:
                 # bitmaps lost entirely: rebuild from the seen table
                 # (correctness-neutral, executor-side Spark job)
                 eng._bloom = eng._bloom_rebuild_spark()
             else:
-                eng._bloom = PartitionedBloom.load(store_root, bloom_rnd)
+                eng._bloom = eng._filter_cls.load(store_root, bloom_rnd)
                 if bloom_rnd < eng.store.round:
                     # a crash between the manifest swap and the bloom meta
                     # write leaves the bitmaps behind the table — catch up
@@ -359,6 +371,50 @@ class CrawlEngine:
         return self.store.delete_where(
             self.spark, "pages_out", PAGES_OUT, predicate, self.store.round
         )
+
+    def forget_urls(self, urls: list[str]) -> int:
+        """Unlearn URLs from the seen set — the takedown follow-up /
+        content-expiry recrawl path. Deletes the ``seen`` rows (ground
+        truth: the anti-join backstop immediately treats the URLs as
+        unseen, so a re-discovery re-enters the frontier) and, when the
+        configured prefilter is deletable (``seen_filter="cuckoo"``),
+        removes the keys from the filter too so re-discoveries stay on
+        the zero-shuffle definitely-new fast path. With the Bloom
+        prefilter the row delete alone is still CORRECT — the filter
+        over-approximates and the exact anti-join sees the deletion —
+        but every future sighting of a forgotten URL pays the slow path
+        forever (bloom bits cannot be unset); that asymmetry is the
+        cuckoo filter's reason to exist (operators/cuckoo.py).
+
+        Takedown lists are human-scale (bounded like the ≤200k
+        driver-side delete-key path): keys are canonicalized and hashed
+        driver-side with the SAME pinned pure functions the engine's
+        UDFs use (functions/urls.py — xxh64 JVM-equivalence is
+        pytest-pinned). Returns the number of seen rows deleted."""
+        from ethereum_raw_data_crawler_spark.functions.urls import (
+            canonicalize_url,
+            url_hash64,
+        )
+
+        hashes = sorted(
+            {
+                url_hash64(c)
+                for u in urls
+                if (c := canonicalize_url(u)) is not None
+            }
+        )
+        if not hashes:
+            return 0
+        pred = f"url_hash IN ({','.join(str(h) for h in hashes)})"
+        n = self.store.delete_where(
+            self.spark, "seen", SEEN, pred, self.store.round
+        )
+        if self._bloom is not None and hasattr(self._bloom, "delete_keys"):
+            keys_df = self.spark.createDataFrame(
+                [(h,) for h in hashes], "url_hash long"
+            )
+            self._bloom.delete_keys(keys_df, "url_hash", self.store.round)
+        return n
 
     def as_of(self, rnd: int, name: str, schema) -> DataFrame:
         """Time-travel read: table contents as committed at round ``rnd``
@@ -563,7 +619,9 @@ class CrawlEngine:
         rows.unpersist()
         self._drain_scratch()
 
-    def _bloom_rebuild_spark(self, expected_keys: int | None = None) -> PartitionedBloom:
+    def _bloom_rebuild_spark(
+        self, expected_keys: int | None = None
+    ) -> "PartitionedBloom | PartitionedCuckoo":
         """Rebuild the partitioned bitmaps from the seen table — one Spark
         job (repartition keys by bucket, each task writes its buckets'
         bitmap files); the driver only sees per-bucket stat rows. Sized
@@ -572,7 +630,7 @@ class CrawlEngine:
         frags = self.store.manifest()["tables"]["seen"]["fragments"]
         if expected_keys is None:
             expected_keys = 2 * max(self.store.fragment_rows(frags), 1)
-        pb = PartitionedBloom.create(
+        pb = self._filter_cls.create(
             self.store.root,
             n_buckets=self.bloom_buckets,
             expected_keys=expected_keys,

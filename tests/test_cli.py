@@ -134,3 +134,43 @@ def test_cli_delete_health_egress(spark, tmp_path, capsys):
     eng2 = CrawlEngine.resume(spark, store)
     urls = {r["url"] for r in eng2.store.read(spark, "pages_out", PAGES_OUT).collect()}
     assert victim not in urls
+
+
+def test_cli_cuckoo_crawl_and_forget(spark, tmp_path, capsys):
+    """--seen-filter cuckoo end to end + the forget subcommand: seen rows
+    deleted and the deletable prefilter unlearned (operators/cuckoo.py)."""
+    corpus = str(tmp_path / "corpus")
+    synth.write_corpus(corpus, synth.T1)
+    store = str(tmp_path / "store_ck")
+    rc = main(
+        [
+            "crawl",
+            "--store", store,
+            "--pages", os.path.join(corpus, "pages.parquet"),
+            "--seeds", os.path.join(corpus, "seeds.parquet"),
+            "--robots", os.path.join(corpus, "robots.parquet"),
+            "--politeness", os.path.join(corpus, "politeness.parquet"),
+            "--rounds", "2",
+            "--batch-size", "100",
+            "--seen-filter", "cuckoo",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["fetched"] > 0
+
+    # pick a fetched URL out of the store and forget it via the CLI
+    from ethereum_raw_data_crawler_spark.plans.rounds import CrawlEngine
+    from ethereum_raw_data_crawler_spark.schemas import PAGES_OUT
+
+    eng = CrawlEngine.resume(spark, store)
+    victim = (
+        eng.store.read(spark, "pages_out", PAGES_OUT).select("url").first()["url"]
+    )
+    urls_file = str(tmp_path / "takedown.txt")
+    with open(urls_file, "w") as fh:
+        fh.write(victim + "\n")
+    rc = main(["forget", "--store", store, "--urls", urls_file])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"forgotten": 1, "requested": 1, "filter": "cuckoo"}
