@@ -661,4 +661,132 @@ def link_pagerank(spark, sf):
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# pii_scrub — regex PII detection + redaction (training-data hygiene)
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# the synthetic documents are clean word-soup, so the query CONSTRUCTS
+# deterministic contamination from doc_id (identical expression in both
+# engines — synthesize-at-small-scale per the input contract) and then
+# detects + scrubs it; 2/3 of docs get one email + one phone + one IPv4
+_PII_RAW_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text ELSE concat(text, ' reach user', "
+    "CAST(doc_id AS {s}), '@example.com or +1 ', "
+    "CAST(doc_id % 900 + 100 AS {s}), '-', "
+    "CAST(doc_id % 900 + 100 AS {s}), '-', "
+    "CAST(doc_id % 9000 + 1000 AS {s}), "
+    "' from 10.', CAST(doc_id % 256 AS {s}), '.', "
+    "CAST((doc_id {div} 256) % 256 AS {s}), '.', "
+    "CAST(doc_id % 254 + 1 AS {s})) END"
+)
+
+
+@_q(
+    "pii_scrub",
+    "WITH contaminated AS (SELECT doc_id, "
+    + _PII_RAW_SQL.format(s="VARCHAR", div="//")
+    + " AS raw FROM documents) "
+    "SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails, "
+    f"CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones, "
+    f"CAST(len(regexp_extract_all(raw, '{_PII_IPV4}')) AS BIGINT) AS n_ips, "
+    "regexp_replace(regexp_replace(regexp_replace(raw, "
+    f"'{_PII_EMAIL}', '[EMAIL]', 'g'), "
+    f"'{_PII_PHONE}', '[PHONE]', 'g'), "
+    f"'{_PII_IPV4}', '[IP]', 'g') AS text_clean "
+    "FROM contaminated ORDER BY doc_id",
+)
+def pii_scrub(spark, sf):
+    """PII detection + redaction over documents — the pre-training
+    hygiene pass (emails / phone numbers / IPv4 scrubbed to typed
+    placeholders, per-type counts kept for audit). Entirely JVM-side
+    regex (regexp_extract_all + chained regexp_replace inside
+    whole-stage codegen — no Python in the hot path), so at 100 TB it is
+    a pure map over the corpus scan: no shuffle, no UDF socket. Scrub
+    order (email before phone before IP) is pinned so placeholders never
+    overlap. The reference has no analogue (blocks carry no prose); this
+    extends §2.6's scalar-function family to the web-text payload."""
+    docs = _t(spark, sf, "documents")
+    raw = F.expr(_PII_RAW_SQL.format(s="STRING", div="DIV"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IPV4,
+        "[IP]",
+    )
+    return (
+        docs.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("raw", F.lit(_PII_EMAIL), 0))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("raw", F.lit(_PII_PHONE), 0))
+            .cast("bigint")
+            .alias("n_phones"),
+            F.size(F.regexp_extract_all("raw", F.lit(_PII_IPV4), 0))
+            .cast("bigint")
+            .alias("n_ips"),
+            scrubbed.alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# chunk_dedup — paragraph/chunk-level exact dedup across documents
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "chunk_dedup",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), "
+    "idx AS (SELECT doc_id, arr, "
+    "unnest(range(CAST(ceil(len(arr)/16.0) AS BIGINT))) AS i FROM w), "
+    "chunks AS (SELECT doc_id, "
+    "md5(array_to_string(arr[(i*16+1):(i*16+16)], ' ')) AS chunk_hash FROM idx) "
+    "SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+    "FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1 "
+    "ORDER BY chunk_hash",
+)
+def chunk_dedup(spark, sf):
+    """Sub-document exact dedup: split each document into fixed 16-word
+    chunks (the paragraph stand-in for the synthetic corpus — real HTML
+    would split on block boundaries), hash each chunk, and report chunks
+    shared by more than one document — the boilerplate/quotation detector
+    that document-level dedup cannot see (C4/RefinedWeb-style line-level
+    dedup, done set-wise). Scale shape: explode is map-side (no pre-
+    shuffle), the only exchange is the hash groupBy with map-side
+    partial aggregation; chunk hashes (16 B) shuffle, never chunk text.
+    md5 is used (not xxhash) because both engines render it identically
+    as lowercase hex for the driver's value compare."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "split(text, ' ') AS arr",
+        )
+        .selectExpr(
+            "doc_id",
+            "explode(sequence(0, CAST(ceil(size(arr)/16.0) AS INT) - 1)) AS i",
+            "arr",
+        )
+        .selectExpr(
+            "doc_id",
+            "md5(array_join(slice(arr, i*16+1, 16), ' ')) AS chunk_hash",
+        )
+        .groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("chunk_hash")
+    )
+
+
 __all__ = ["REGISTRY"]
