@@ -94,8 +94,12 @@ _TABLES = {
 
 # max slim popped rows per shuffled-hash build task (~100-200 MB of
 # hash map at frontier-row width); the fetch join widens its exchange
-# past the session shuffle width whenever batch/width would exceed it
-SHJ_BUILD_ROWS = 1_500_000
+# past the session shuffle width whenever batch/width would exceed it.
+# Deploy-time override: SPARK_GRAFT_SHJ_BUILD_ROWS — lower it to give the
+# fetch join (and therefore the cached fetch+parse result, whose
+# partition layout every downstream per-page stage inherits) a finer
+# partitioning than the session shuffle width.
+SHJ_BUILD_ROWS = int(os.environ.get("SPARK_GRAFT_SHJ_BUILD_ROWS", "1500000"))
 
 
 def shj_width(n_build_rows: int, conf_width: int) -> int:

@@ -989,6 +989,15 @@ DEFER_LAST = [
     # the trade is documented in COVERAGE.md.
     "existence_check",
     "topk_by_value",
+    # round 5b: pii_scrub and chunk_dedup (new operator families — PII
+    # scrubbing has no sibling; chunk-level dedup is the only
+    # sub-document dedup row) landed at positions 51-52. Two more
+    # second exemplars make room: multi_agg's §2.4 multi-agg row stays
+    # scored via tpch_q1, and broadcast_dim_join's §2.5 fetch-join row
+    # stays scored via fanout_join (its broadcast plan shape remains
+    # pytest-asserted in test_plan_hygiene.py). Same documented trade.
+    "multi_agg",
+    "broadcast_dim_join",
 ]
 
 

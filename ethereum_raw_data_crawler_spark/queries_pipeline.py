@@ -789,4 +789,68 @@ def chunk_dedup(spark, sf):
     )
 
 
+# --------------------------------------------------------------------------
+# repetition_filter — Gopher-style within-document repetition metrics
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "repetition_filter",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents "
+    "WHERE len(string_split(text, ' ')) >= 2), "
+    "g AS (SELECT doc_id, arr, "
+    "list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1]) AS g2 "
+    "FROM w), "
+    "top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_count FROM ("
+    "SELECT doc_id, gram, count(*) AS c FROM ("
+    "SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram) "
+    "GROUP BY doc_id) "
+    "SELECT g.doc_id, "
+    "round((len(arr) - len(list_distinct(arr))) / len(arr), 6) AS dup_word_frac, "
+    "round((len(g2) - len(list_distinct(g2))) / len(g2), 6) AS dup_2gram_frac, "
+    "top.top_2gram_count "
+    "FROM g JOIN top USING (doc_id) ORDER BY doc_id",
+)
+def repetition_filter(spark, sf):
+    """Gopher-style within-document repetition metrics (Rae et al. 2021
+    §A1.1: documents dominated by repeated lines/n-grams are low-quality
+    training data): per document, the fraction of duplicate words, the
+    fraction of duplicate word 2-grams, and the multiplicity of the most
+    repeated 2-gram. Joins the quality_score / lang_id family (§2.6 text
+    analysis) with the repetition axis those filters lack.
+
+    Scale shape: a pure map over the corpus scan — every metric is
+    computed WITHIN a row by JVM higher-order functions (transform /
+    array_distinct / aggregate over sort_array), so there is no explode,
+    no shuffle, and no Python in the path at 100 TB. The most-repeated-
+    2-gram count uses sort + longest-equal-run (O(n log n) per doc)
+    instead of a per-distinct-gram rescan (O(n^2))."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.where("size(split(text, ' ')) >= 2")
+        .selectExpr("doc_id", "split(text, ' ') AS arr")
+        .selectExpr(
+            "doc_id",
+            "arr",
+            "transform(sequence(1, size(arr) - 1), "
+            "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1))) AS g2",
+        )
+        .selectExpr(
+            "doc_id",
+            "round((size(arr) - size(array_distinct(arr))) / size(arr), 6)"
+            " AS dup_word_frac",
+            "round((size(g2) - size(array_distinct(g2))) / size(g2), 6)"
+            " AS dup_2gram_frac",
+            "CAST(aggregate(sort_array(g2), "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+            "(a, x) -> named_struct("
+            "'prev', x, "
+            "'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1), "
+            "'best', GREATEST(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))), "
+            "a -> a.best) AS BIGINT) AS top_2gram_count",
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = ["REGISTRY"]
