@@ -853,4 +853,65 @@ def repetition_filter(spark, sf):
     )
 
 
+# --------------------------------------------------------------------------
+# decontaminate — eval-set n-gram overlap (test-set contamination scan)
+# --------------------------------------------------------------------------
+
+# every 53rd document plays the held-out benchmark; 3-grams because the
+# synthetic corpus draws from a ~30-word vocabulary (real deployments use
+# 13-grams per the public decontamination recipes — the plan shape is
+# identical, only the literal changes)
+_DECON_N = 3
+_DECON_MOD = 53
+
+
+@_q(
+    "decontaminate",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents "
+    f"WHERE len(string_split(text, ' ')) >= {_DECON_N}), "
+    "g AS (SELECT doc_id, unnest(list_transform("
+    f"range(1, len(arr) - {_DECON_N - 2}), "
+    f"i -> array_to_string(arr[i:i+{_DECON_N - 1}], ' '))) AS gram FROM w), "
+    f"ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0) "
+    "SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams "
+    f"FROM g JOIN ev USING (gram) WHERE g.doc_id % {_DECON_MOD} <> 0 "
+    "GROUP BY g.doc_id ORDER BY g.doc_id",
+)
+def decontaminate(spark, sf):
+    """Test-set decontamination: flag training documents that share any
+    word n-gram with a held-out benchmark set (here: every 53rd doc),
+    reporting the number of distinct shared n-grams per contaminated
+    document — the standard pre-training hygiene pass that prevents
+    benchmark leakage.
+
+    Scale shape (the part that matters at 100 TB): the benchmark side is
+    tiny and corpus-independent, so its distinct n-gram set is
+    **broadcast** — the corpus side never shuffles its grams; the only
+    exchange is the per-doc count aggregation AFTER the broadcast
+    semi-join has discarded every clean gram map-side. Gram explosion is
+    map-side (whole-stage codegen, no UDF)."""
+    docs = _t(spark, sf, "documents").where(
+        f"size(split(text, ' ')) >= {_DECON_N}"
+    )
+    grams = docs.selectExpr("doc_id", "split(text, ' ') AS arr").selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(1, size(arr) - {_DECON_N - 1}), "
+        "i -> concat_ws(' ', "
+        + ", ".join(f"element_at(arr, i + {j})" for j in range(_DECON_N))
+        + "))) AS gram",
+    )
+    ev = (
+        grams.where(f"doc_id % {_DECON_MOD} = 0")
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.where(f"doc_id % {_DECON_MOD} <> 0")
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
 __all__ = ["REGISTRY"]
