@@ -762,8 +762,14 @@ class CrawlEngine:
             # many executors the job happens to get; the explicit
             # repartition IS the join's exchange (it satisfies the hash
             # distribution), so wide clusters pay nothing extra.
+            # SPARK_GRAFT_FETCH_JOIN=smj restores the optimizer-chosen
+            # sort-merge plan — a deploy-time escape hatch (and the A/B
+            # instrument used to adjudicate the hint's interaction with
+            # the parse cache under memory pressure).
             if n_popped <= 100_000:
                 popped_side = F.broadcast(popped)
+            elif os.environ.get("SPARK_GRAFT_FETCH_JOIN", "shj") == "smj":
+                popped_side = popped
             else:
                 width = shj_width(
                     n_popped,

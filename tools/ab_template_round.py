@@ -79,6 +79,8 @@ def main() -> None:
                     "load1_start": round(load1_start, 2),
                     "load1_end": round(os.getloadavg()[0], 2),
                     "phases_ms": stats[0].get("phases_ms") if stats else None,
+                    "discovered": stats[0].get("discovered") if stats else None,
+                    "fetch_join": os.environ.get("SPARK_GRAFT_FETCH_JOIN", "shj"),
                 }
             ),
             flush=True,
