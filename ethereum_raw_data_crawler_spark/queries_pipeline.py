@@ -914,4 +914,114 @@ def decontaminate(spark, sf):
     )
 
 
+# --------------------------------------------------------------------------
+# stratified_sample — deterministic per-stratum sampling (data mixing)
+# --------------------------------------------------------------------------
+
+# per-language keep rates (the training-mix knob); permille so the
+# comparison is integer-exact in both engines
+_MIX_PERMILLE = {"en": 500, "fr": 200, "de": 200, "es": 200, "zh": 100}
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_PERMILLE.items())
+    + " ELSE 0 END"
+)
+# Knuth multiplicative hash of the doc key, mod 1000 — a uniform permille
+# draw both engines compute bit-identically in BIGINT arithmetic
+_MIX_DRAW = "(doc_id * 2654435761) % 1000"
+
+
+@_q(
+    "stratified_sample",
+    f"SELECT doc_id, lang, CAST({_MIX_DRAW} AS BIGINT) AS draw "
+    f"FROM documents WHERE {_MIX_DRAW} < {_MIX_CASE} ORDER BY doc_id",
+)
+def stratified_sample(spark, sf):
+    """Deterministic stratified sampling — the data-mixing primitive that
+    turns a raw corpus into a training mixture (per-language keep rates
+    here; per-source/per-quality-band in production). Selection is a pure
+    function of the row key (Knuth multiplicative hash mod 1000 vs the
+    stratum's permille rate), so the sample is reproducible across runs,
+    engines, and resumes — no RNG state, no ``TABLESAMPLE``
+    nondeterminism.
+
+    Scale shape: a map-side filter over the corpus scan — no shuffle, no
+    UDF, no driver participation; the rate table is a CASE literal here
+    and would be a broadcast dim-join if strata came from a table. At
+    100 TB this is exactly a predicate-pushdown-friendly scan. Production
+    would key the draw on xxhash64 of a stable content key
+    (functions/urls.py xxhash64 parity); the arithmetic hash here is the
+    cross-engine-oracle-exact stand-in with the same plan shape."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "lang",
+            f"CAST({_MIX_DRAW} AS BIGINT) AS draw",
+            f"{_MIX_CASE} AS rate",
+        )
+        .where("draw < rate")
+        .select("doc_id", "lang", "draw")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# seq_pack — sequence packing into fixed token-budget bins
+# --------------------------------------------------------------------------
+
+_PACK_L = 256  # tokens per packed training sequence
+_PACK_SHARDS = 8  # independent pack streams (per-worker in production)
+
+
+@_q(
+    "seq_pack",
+    "WITH t AS (SELECT doc_id, doc_id % "
+    f"{_PACK_SHARDS} AS shard, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) "
+    "SELECT doc_id, shard, n_tokens, "
+    "CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) "
+    f"- n_tokens) / {_PACK_L}) AS BIGINT) AS pack_id "
+    "FROM t ORDER BY doc_id",
+)
+def seq_pack(spark, sf):
+    """Sequence packing: assign each document to the fixed-size training
+    sequence (``pack_id``) where its first token lands under
+    concat-and-chunk packing — the standard pre-training step that turns
+    variable-length documents into dense fixed-length sequences (docs
+    are concatenated in key order and split every L=256 tokens;
+    GPT-style packing, no padding waste).
+
+    Scale shape: packing is inherently sequential within one output
+    stream, so parallelism comes from SHARDING — each of the 8 shards
+    (one per writer/worker in production) packs independently via a
+    window partitioned by shard. The plan is one hash exchange on shard
+    + an in-partition sort: no global ORDER BY single-partition
+    bottleneck, and shard count scales with the cluster, not the data.
+    Token counts are whitespace tokens here (token_count family); a BPE
+    tokenizer would swap in via the same vectorized counting UDF."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.selectExpr(
+            "doc_id",
+            f"doc_id % {_PACK_SHARDS} AS shard",
+            "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        )
+        .withColumn(
+            "pack_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_L).cast(
+                "bigint"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = ["REGISTRY"]
