@@ -41,7 +41,11 @@ Scale notes (10^10 docs):
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
@@ -80,11 +84,41 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relinked
 
 
+def _single_task_components(pairs: DataFrame) -> DataFrame:
+    """Union-find over the whole (self-loop-free, distinct) edge list in
+    ONE executor task — the small-graph path. Below millions of edges the
+    distributed star algorithm is bound by its fixed per-iteration job
+    cost (O(log n) iterations x ~6 exchanges + an eager checkpoint and a
+    convergence agg each), not by data; a single mapInPandas task over
+    the coalesced edge list computes the identical labeling in one job.
+    No driver data work: the edge list never leaves the executors."""
+    ntype = pairs.schema["u"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", ntype, False),
+            T.StructField("component", ntype, False),
+        ]
+    )
+
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edge_list: list[tuple] = []
+        for pdf in batches:
+            edge_list.extend(zip(pdf["u"].tolist(), pdf["v"].tolist()))
+        labels = components_oracle(edge_list)
+        if labels:
+            yield pd.DataFrame(
+                {"node": list(labels), "component": list(labels.values())}
+            )
+
+    return pairs.coalesce(1).mapInPandas(resolve, out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    small_graph_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Resolve undirected edges into components.
 
@@ -95,19 +129,36 @@ def connected_components(
     ``max_iterations`` is a runaway guard: large-star/small-star provably
     converges in O(log n) rounds, so 50 covers any graph that fits on a
     cluster; hitting the cap raises rather than returning partial groups.
-    """
-    pairs = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+
+    ``small_graph_max_edges`` gates the single-task union-find path
+    (``_single_task_components``): at or below it (<= ~32 MB of edge
+    longs in one task) the O(log n) machinery costs more in fixed
+    per-iteration job overhead than the whole problem; above it the
+    distributed star alternation runs exactly as before. Pass 0 to force
+    the distributed path (tests do)."""
+    # materialize the caller's edge pipeline ONCE: pairs, nodes and the
+    # edge count below all read this checkpoint instead of re-running an
+    # arbitrarily expensive upstream (for dedup_groups that upstream is
+    # the full LSH + gram-verify pipeline) once per reference
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
     )
+    pairs = e0.where(F.col("u") != F.col("v")).distinct()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
         .distinct()
     )
 
     cur = pairs.localCheckpoint(eager=True)
+    n_edges = cur.count()
+    if n_edges <= small_graph_max_edges:
+        stars = _single_task_components(cur)
+        return nodes.join(F.broadcast(stars), "node", "left").select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_iterations):
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))

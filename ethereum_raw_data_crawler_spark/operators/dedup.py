@@ -42,6 +42,21 @@ from ethereum_raw_data_crawler_spark.functions.hashing import (
     token_hash64_vec,
 )
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow scan before an expensive per-row pass.
+
+    A corpus that arrives as one unsplittable file (or a parquet file
+    with a single row group) pins the whole signature stage to ONE task
+    no matter how wide the cluster is (guide: input skew — repartition
+    immediately after the read). The shuffle moves only the slim
+    (id, text) projection and only fires when the source's parallelism
+    is actually below the cluster's."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
 # ---------------------------------------------------------------------------
 # pure per-document signature functions (shared with the pytest oracles —
 # thin single-document wrappers over the SAME vectorized batch primitives
@@ -107,7 +122,46 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
+    return _spread(df.select(id_col, text_col)).mapInPandas(compute, out_schema)
+
+
+def minhash_doc_sigs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 64,
+                     bands: int = 16) -> DataFrame:
+    """(id, sig, band_keys) — ONE row per document across the Arrow
+    boundary. The per-(doc, band) layout of ``minhash_bands`` repeats the
+    k-long signature ``bands`` times (k x bands x 8 bytes of redundant
+    Arrow traffic per doc — ~400 MB at 50k docs); here the signature
+    crosses once and the band explode happens JVM-side."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+            T.StructField("band_keys", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [_doc_tokens(t) for t in pdf[text_col]]
+            tok_counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            all_hashes = token_hash64_vec(
+                [w for toks in tok_lists for w in toks]
+            )
+            flat, counts = shingle_hashes_concat(all_hashes, tok_counts, 3)
+            sigs = minhash_signature_batch(flat, counts, k)  # (n, k)
+            keys = band_keys_batch(sigs, bands)  # (n, bands) int64
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sig": sigs.view(np.int64).tolist(),
+                    "band_keys": keys.tolist(),
+                }
+            )
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(compute, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -120,33 +174,40 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     similarity (fraction of equal MinHash entries — the unbiased Jaccard
-    estimate). Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
-    b = minhash_bands(df, text_col, id_col, k, bands)
-    left = b.select(
-        F.col(id_col).alias("id_a"),
-        "band_idx",
-        "band_key",
-        F.col("sig").alias("sig_a"),
+    estimate). Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    Execution shape: the signature pass is materialized ONCE
+    (localCheckpoint) — the band self-join references it on both sides
+    and the signature-verify joins twice more, so the lazy plan would
+    re-run the Python signature pass 4x (measured as the bulk of the
+    operator's wall at 50k docs). Band rows entering the self-join are
+    slim (id, band_idx, band_key); signatures are attached to the
+    surviving candidate pairs only."""
+    per_doc = minhash_doc_sigs(df, text_col, id_col, k, bands).localCheckpoint(
+        eager=True
     )
-    right = b.select(
-        F.col(id_col).alias("id_b"),
-        "band_idx",
-        "band_key",
-        F.col("sig").alias("sig_b"),
+    b = per_doc.select(
+        F.col(id_col), F.posexplode("band_keys").alias("band_idx", "band_key")
     )
+    left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     pairs = (
         left.join(right, ["band_idx", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = per_doc.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = per_doc.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(k)
     return (
-        pairs.withColumn("est_jaccard", F.round(est, 6))
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -220,7 +281,7 @@ def simhash_fingerprints(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
+    return _spread(df.select(id_col, text_col)).mapInPandas(compute, out_schema)
 
 
 def simhash_near_dup_pairs(

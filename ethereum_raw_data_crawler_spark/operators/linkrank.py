@@ -66,7 +66,13 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
-    for _ in range(iterations):
+    # checkpoint every few iterations, not every one: an eager checkpoint
+    # is a full Spark job, and at 8 fixed iterations the per-job fixed
+    # cost dominated the operator's wall. Measured at a 50k-node graph
+    # (3 runs each): every-1 3.1-3.9 s, every-4 2.1-2.2 s, never (all 8
+    # lazy) 2.7-3.4 s — batches of 4 amortize the job cost while keeping
+    # the lineage shallow enough that planning stays cheap.
+    for i in range(iterations):
         sums = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(
@@ -76,15 +82,13 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("m"))
         )
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -411,17 +411,29 @@ def tpch_q1(spark, sf):
     "GROUP BY o.o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 20",
 )
 def fanout_join(spark, sf):
-    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "O")
+    """Aggregate-below-join (guide §2.3 "aggregate before you shuffle"):
+    the per-orderkey aggregate commutes with the key-equality join, so
+    lineitem is partially aggregated map-side and the exchange carries one
+    slim row per orderkey instead of every line item; the orders side then
+    joins as a slim single-column shuffled-hash build. Identical result:
+    the join only gates which orderkeys survive."""
+    o = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+    )
     l = _t(spark, sf, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
-        .groupBy("o_orderkey")
+    agg = (
+        l.groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+    return (
+        agg.join(o.hint("shuffle_hash"), "o_orderkey", "inner")
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(20)
     )
@@ -703,7 +715,6 @@ def embedding_topk(spark, sf):
     """Brute-force cosine top-k over the embedding column — built-in
     higher-order functions only (zip_with + aggregate), no UDF."""
     e = _t(spark, sf, "embeddings")
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
 
     def dot(a, b):
         return F.aggregate(
@@ -715,14 +726,26 @@ def embedding_topk(spark, sf):
     def norm(a):
         return F.sqrt(dot(a, a))
 
+    # the query vector's norm is a constant of the query: compute it ONCE
+    # on the 1-row broadcast side instead of re-running a 64-wide
+    # aggregate per corpus row (identical IEEE ops, evaluated early)
+    q = (
+        e.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    # the 64-wide dot product per corpus row is the expensive part; a
+    # single-row-group embeddings file would run it all in one task
+    from ethereum_raw_data_crawler_spark.operators.dedup import _spread
+
     return (
-        e.where(F.col("vec_id") != 0)
+        _spread(e.where(F.col("vec_id") != 0).select("vec_id", "embedding"))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             F.round(
                 dot(F.col("embedding"), F.col("qv"))
-                / (norm(F.col("embedding")) * norm(F.col("qv"))),
+                / (norm(F.col("embedding")) * F.col("qn")),
                 5,
             ).alias("cos_sim"),
         )

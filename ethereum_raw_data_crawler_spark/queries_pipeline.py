@@ -151,10 +151,50 @@ def _verified_near_dup_pairs(docs):
     component-resolution stage consuming those pairs)."""
     from ethereum_raw_data_crawler_spark.operators.dedup import minhash_lsh_pairs
 
-    cands = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
-    g = docs.select("doc_id", _grams_col().alias("gs"))
-    ga = g.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a"))
-    gb = g.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b"))
+    # Candidates first, materialized once (they are LSH output — tiny
+    # relative to the corpus); the exact-Jaccard verify then computes the
+    # expensive word-3-gram arrays ONLY for documents that appear in some
+    # candidate pair (semi-join prefilter, guide §3.2) instead of for the
+    # whole corpus on BOTH sides of the join. Below the size gate the
+    # gram table is materialized once and broadcast into both pair joins
+    # (no shuffle); above it the joins fall back to shuffles, still over
+    # the prefiltered gram table. Results are identical either way: the
+    # verify join is inner on candidate ids, so non-candidate documents
+    # never contribute.
+    cands = (
+        minhash_lsh_pairs(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = cands.count()
+    ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    member = docs.join(ids, "doc_id", "left_semi").select("doc_id", "text")
+    if n_pairs <= 100_000:
+        # <= 200k member docs; gram arrays are KB-scale -> broadcastable.
+        # The explicit repartition spreads the gram compute across the
+        # cluster — the broadcast semi-join otherwise leaves it at the
+        # scan's parallelism (one task for a single-row-group corpus file)
+        # and the shuffle moves only the few surviving (id, text) rows.
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        g = (
+            member.repartition(par)
+            .select("doc_id", _grams_col().alias("gs"))
+            .localCheckpoint(eager=True)
+        )
+        ga = F.broadcast(
+            g.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a"))
+        )
+        gb = F.broadcast(
+            g.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b"))
+        )
+    else:
+        g = member.select("doc_id", _grams_col().alias("gs"))
+        ga = g.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a"))
+        gb = g.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b"))
     jac = F.round(
         F.size(F.array_intersect("gs_a", "gs_b"))
         * 1.0

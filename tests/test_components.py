@@ -17,60 +17,82 @@ from ethereum_raw_data_crawler_spark.operators.components import (
 )
 
 
-def _run(spark, edge_list, parallelism=4):
+#: both execution paths must produce identical labelings: the default
+#: (single-task union-find below the small-graph gate) and the forced
+#: distributed star alternation (small_graph_max_edges=0)
+PATHS = [2_000_000, 0]
+
+
+def _run(spark, edge_list, parallelism=4, gate=2_000_000):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edge_list] or [(0, 0)],
         "src bigint, dst bigint",
     )
     if not edge_list:
         df = df.where(F.lit(False))
-    got = connected_components(df.repartition(parallelism), "src", "dst")
+    got = connected_components(
+        df.repartition(parallelism), "src", "dst", small_graph_max_edges=gate
+    )
     return {int(r["node"]): int(r["component"]) for r in got.collect()}
 
 
-def test_chain_converges_to_global_min(spark):
+@pytest.mark.parametrize("gate", PATHS)
+def test_chain_converges_to_global_min(spark, gate):
     # path 0-1-2-...-40: diameter 40, star alternation must still collapse
     # it to a single root (and in far fewer than max_iterations rounds)
     edges = [(i, i + 1) for i in range(40)]
     random.Random(7).shuffle(edges)
-    got = _run(spark, edges)
+    got = _run(spark, edges, gate=gate)
     assert got == {i: 0 for i in range(41)}
 
 
-def test_cliques_and_isolated_pairs(spark):
+@pytest.mark.parametrize("gate", PATHS)
+def test_cliques_and_isolated_pairs(spark, gate):
     edges = []
     # three cliques over disjoint id ranges
     for base in (100, 200, 300):
         ids = [base + i for i in range(5)]
         edges += [(a, b) for a in ids for b in ids if a < b]
     edges += [(7, 9), (9, 7), (9, 7)]  # duplicate + reversed edges
-    got = _run(spark, edges)
+    got = _run(spark, edges, gate=gate)
     assert got == components_oracle(edges)
     assert got[104] == 100 and got[304] == 300 and got[9] == 7
 
 
-def test_random_graphs_match_union_find(spark):
+@pytest.mark.parametrize("gate", PATHS)
+def test_random_graphs_match_union_find(spark, gate):
     rng = random.Random(1234)
     for trial in range(3):
         n = 120
         m = rng.choice([60, 150, 400])
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
-        got = _run(spark, edges, parallelism=rng.choice([1, 3, 8]))
+        got = _run(spark, edges, parallelism=rng.choice([1, 3, 8]), gate=gate)
         want = components_oracle(edges)
         # oracle keeps self-loop-only nodes too (they are their own root)
         assert got == want, f"trial {trial} (m={m}) mismatch"
 
 
-def test_empty_and_selfloop_only(spark):
-    assert _run(spark, []) == {}
+@pytest.mark.parametrize("gate", PATHS)
+def test_empty_and_selfloop_only(spark, gate):
+    assert _run(spark, [], gate=gate) == {}
     # self-loops: nodes appear in edges, map to themselves
-    assert _run(spark, [(5, 5), (6, 6)]) == {5: 5, 6: 6}
+    assert _run(spark, [(5, 5), (6, 6)], gate=gate) == {5: 5, 6: 6}
+
+
+def test_small_and_distributed_paths_agree(spark):
+    """The size gate is a pure execution-strategy switch: both paths must
+    label a nontrivial mixed forest identically."""
+    rng = random.Random(99)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    assert _run(spark, edges, gate=0) == _run(spark, edges, gate=2_000_000)
 
 
 def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, "src", "dst", max_iterations=0)
+        connected_components(
+            df, "src", "dst", max_iterations=0, small_graph_max_edges=0
+        )
 
 
 def test_dedup_groups_query_matches_duckdb_oracle(spark):
