@@ -643,6 +643,8 @@ def rolling_hash_fingerprint(spark, sf):
     """Polynomial rolling-hash document fingerprint (Rabin-Karp style,
     base 31 mod 2^31-1) — pure higher-order functions on both engines,
     char-exact across them."""
+    from ethereum_raw_data_crawler_spark.operators.dedup import _spread
+
     d = _t(spark, sf, "documents")
     codes = F.transform(
         F.sequence(F.lit(1), F.length("text")),
@@ -651,7 +653,8 @@ def rolling_hash_fingerprint(spark, sf):
     rhash = F.aggregate(
         codes, F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % 2147483647
     )
-    return d.select("doc_id", rhash.alias("rhash"))
+    # per-character fold over the corpus: spread past 1-task scans
+    return _spread(d.select("doc_id", "text")).select("doc_id", rhash.alias("rhash"))
 
 
 @_q(
@@ -771,8 +774,22 @@ def embedding_topk(spark, sf):
 )
 def ngram_jaccard(spark, sf):
     """Exact word-3-gram Jaccard near-dup pairs, blocked by source —
-    all JVM-side higher-order functions (split/transform/array_intersect),
-    no Python. The SQL-pairable sibling of the MinHash-LSH operator."""
+    all JVM-side higher-order functions (split/transform), no Python.
+    The SQL-pairable sibling of the MinHash-LSH operator.
+
+    Execution shape (round 6): inverted-index join instead of the
+    per-block all-pairs self-join. Exploding each doc's DISTINCT grams
+    and self-joining on (source, gram) yields exactly one row per shared
+    gram, so count(*) per (id_a, id_b) IS |intersection|, and because
+    both gram sets are distinct |union| = |A| + |B| - |intersection| —
+    the same jaccard, bit-identically, without materializing the
+    (n/block)^2 pair space or shipping gram ARRAYS through the join
+    (measured 16.6 s -> see OPTIMIZATION_r06.md at sf0.1; the all-pairs
+    plan is quadratic per block and did not finish a sweep at sf1.0).
+    Pairs sharing zero grams never appear, which is precisely the
+    original `size(intersect) > 0` filter."""
+    from ethereum_raw_data_crawler_spark.operators.dedup import _spread
+
     d = _t(spark, sf, "documents")
     w = F.split("text", " ")
     grams = F.array_distinct(
@@ -786,22 +803,46 @@ def ngram_jaccard(spark, sf):
             ),
         )
     )
-    g = d.select("doc_id", "source", grams.alias("gs"))
-    a = g.select(
-        F.col("doc_id").alias("id_a"), "source", F.col("gs").alias("gs_a")
+    # materialized before the explode: projection collapse otherwise
+    # inlines the gram EXPRESSION into the post-Generate projection
+    # (size(gs) -> the whole array_distinct(transform(...)) re-evaluated
+    # per exploded row — measured 0.6 s -> 4.1 s at sf0.1); a checkpoint
+    # makes gs a physical column, and both join sides read it once
+    g = (
+        _spread(d.select("doc_id", "source", "text"))
+        .select("doc_id", "source", grams.alias("gs"))
+        .localCheckpoint(eager=True)
     )
-    b = g.select(
-        F.col("doc_id").alias("id_b"), "source", F.col("gs").alias("gs_b")
+    ex = g.select(
+        "doc_id",
+        "source",
+        F.size("gs").alias("sz"),
+        F.explode("gs").alias("gram"),
     )
-    jac = F.size(F.array_intersect("gs_a", "gs_b")) * 1.0 / F.size(
-        F.array_union("gs_a", "gs_b")
+    a = ex.select(
+        F.col("doc_id").alias("id_a"),
+        "source",
+        F.col("sz").alias("sz_a"),
+        "gram",
     )
-    return (
-        a.join(b, "source")
+    b = ex.select(
+        F.col("doc_id").alias("id_b"),
+        "source",
+        F.col("sz").alias("sz_b"),
+        "gram",
+    )
+    inter = (
+        a.join(b, ["source", "gram"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.size(F.array_intersect("gs_a", "gs_b")) > 0)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    jac = (
+        F.col("inter")
+        * 1.0
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    )
+    return inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
 @_q(
@@ -815,6 +856,8 @@ def ngram_jaccard(spark, sf):
 def embedding_near_dup(spark, sf):
     """Embedding-cosine near-duplicate pairs, blocked by label (the
     cheap blocking key standing in for an LSH bucket at this scale)."""
+    from ethereum_raw_data_crawler_spark.operators.dedup import _spread
+
     e = _t(spark, sf, "embeddings")
 
     def dot(a, b):
@@ -824,15 +867,28 @@ def embedding_near_dup(spark, sf):
             lambda acc, x: acc + x.cast("double"),
         )
 
-    a = e.select(
-        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("ea")
+    # per-row norms computed ONCE before the pair join — the pair-level
+    # expression re-ran both self-dot-products per PAIR (identical IEEE
+    # ops, evaluated early; 2/3 of the per-pair aggregate work removed)
+    n = _spread(e.select("vec_id", "label", "embedding")).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("eb")
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        "label",
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))

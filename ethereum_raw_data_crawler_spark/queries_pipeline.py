@@ -310,13 +310,21 @@ def dedup_simhash(spark, sf):
     bit votes via built-in higher-order functions inside whole-stage
     codegen — the 100-TB variant of the Arrow-batched simhash operator
     (operators/dedup.py keeps the mapInPandas sibling + pytest oracle)."""
+    from ethereum_raw_data_crawler_spark.operators.dedup import _spread
+
     d = _t(spark, sf, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
     hs = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long"),
     )
-    d2 = d.select("doc_id", hs.alias("hs")).where(F.size("hs") > 0)
+    # sha256-per-token over the whole corpus is the expensive part; spread
+    # it past a single-row-group scan's 1-task parallelism
+    d2 = (
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", hs.alias("hs"))
+        .where(F.size("hs") > 0)
+    )
 
     def _vote_fn(b):
         # two-arg lambda required by F.aggregate's arity check
