@@ -18,12 +18,12 @@ from ethereum_raw_data_crawler_spark.operators.components import (
 
 
 #: both execution paths must produce identical labelings: the default
-#: (single-task union-find below the small-graph gate) and the forced
-#: distributed star alternation (small_graph_max_edges=0)
-PATHS = [2_000_000, 0]
+#: (single-task vectorized union-find below the small-graph gate) and
+#: the forced distributed star alternation (small_graph_max_edges=0)
+PATHS = [8_000_000, 0]
 
 
-def _run(spark, edge_list, parallelism=4, gate=2_000_000):
+def _run(spark, edge_list, parallelism=4, gate=8_000_000):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edge_list] or [(0, 0)],
         "src bigint, dst bigint",
@@ -84,7 +84,31 @@ def test_small_and_distributed_paths_agree(spark):
     label a nontrivial mixed forest identically."""
     rng = random.Random(99)
     edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
-    assert _run(spark, edges, gate=0) == _run(spark, edges, gate=2_000_000)
+    assert _run(spark, edges, gate=0) == _run(spark, edges, gate=8_000_000)
+
+
+def test_np_components_matches_oracle():
+    """The vectorized pointer-jumping kernel vs the dict union-find on a
+    long chain (worst case for propagation depth) and random graphs."""
+    import numpy as np
+
+    from ethereum_raw_data_crawler_spark.operators.components import (
+        _np_components,
+    )
+
+    rng = random.Random(5)
+    cases = [[(i, i + 1) for i in range(500)]]
+    for _ in range(3):
+        cases.append(
+            [(rng.randrange(300), rng.randrange(300)) for _ in range(1000)]
+        )
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        u = np.array([a for a, _ in edges], dtype=np.int64)
+        v = np.array([b for _, b in edges], dtype=np.int64)
+        nodes, comp = _np_components(u, v)
+        got = dict(zip(nodes.tolist(), comp.tolist()))
+        assert got == components_oracle(edges)
 
 
 def test_nonconvergence_guard(spark):
